@@ -1,13 +1,501 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.agg.Aggregators
+import graft.functions.CellEncode
+import graft.join.SpatialJoins
+import graft.operators.Extractor
+import graft.sim.Ann
+import graft.table.Pages
+import graft.text.TextOps
+import graft.tiles.Tiler
+
+/** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2 for the
+  * operator inventory each query covers).
+  *
+  * Oracle strategy: the pages corpus is synthesized in closed form from
+  * `d = l_orderkey*8 + l_linenumber` (graft.table.PayloadSpec) using only exact
+  * binary fractions, so DuckDB can recompute every expected extent/tbox with
+  * plain SQL arithmetic while the Spark side actually parses the embedded
+  * GeoJSON/KML/GPX/CSV/HTML payloads — a true end-to-end parser check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  private def extracted(s: SparkSession, dir: String): DataFrame =
+    Extractor.extract(Pages.pages(s, dir)).toDF()
+
+  private def withCentroid(df: DataFrame): DataFrame =
+    df.filter(col("min_lon").isNotNull)
+      .withColumn("lonc", (col("min_lon") + col("max_lon")) / 2)
+      .withColumn("latc", (col("min_lat") + col("max_lat")) / 2)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Flagship query on sf=0.001: full extract → merge pipeline. */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = extracted(spark, "/root/testdata/sf0.001")
+    e.groupBy("handler").agg(
+      count(lit(1)).as("n_pages"),
+      count(col("min_lon")).as("n_with_extent"),
+      min("min_lon").as("min_lon"), max("max_lon").as("max_lon"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2/P5(payload analogs)/P8/S1..S8: per-page extraction
+    "q01_extract_extent" -> ((s, dir) =>
+      extracted(s, dir).select(col("d").as("doc_id"), col("handler"),
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))),
+
+    // P9/P10/P13 temporal extraction
+    "q02_extract_tbox" -> ((s, dir) =>
+      extracted(s, dir).select(col("d").as("doc_id"), col("tbox_start"), col("tbox_end"))),
+
+    // S1 handler dispatch statistics
+    "q03_handler_counts" -> ((s, dir) =>
+      extracted(s, dir).groupBy("handler").agg(count(lit(1)).as("cnt"))),
+
+    // R1 bbox_merge via typed Aggregator
+    "q04_bbox_merge" -> ((s, dir) =>
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(count(lit(1)).as("n_ext"),
+          Aggregators.bboxMerge(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("bm"))
+        .select(col("g"), col("n_ext"),
+          col("bm.min_lon").as("min_lon"), col("bm.min_lat").as("min_lat"),
+          col("bm.max_lon").as("max_lon"), col("bm.max_lat").as("max_lat"))),
+
+    // R3 tbox_merge via typed Aggregator (signed-ISO deep time aware)
+    "q05_tbox_merge" -> ((s, dir) =>
+      extracted(s, dir).filter(col("tbox_start").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(Aggregators.tboxMerge(col("tbox_start"), col("tbox_end")).as("tm"))
+        .select(col("g"), col("tm.tbox_start").as("tbox_start"), col("tm.tbox_end").as("tbox_end"))),
+
+    // J2 cell encode — native Catalyst expression (whole-stage codegen)
+    "q06_cell_encode" -> ((s, dir) =>
+      withCentroid(extracted(s, dir))
+        .withColumn("cell2", CellEncode(col("latc"), col("lonc"), Pages.JoinZoom))
+        .select(col("d").as("doc_id"),
+          Tiler.txUdf(col("cell2")).cast("long").as("tx"),
+          Tiler.tyUdf(col("cell2")).cast("long").as("ty"))),
+
+    // J1 broadcast PIP join (cell prefilter + ray casting)
+    "q07_pip_join" -> ((s, dir) => {
+      val pts = withCentroid(extracted(s, dir))
+        .select(col("d").as("doc_id"), col("lonc").as("lon"), col("latc").as("lat"), col("cell"))
+      SpatialJoins.pipJoin(pts, Pages.polygons(s, dir))
+        .select(col("doc_id"), col("poly_id").cast("long").as("poly_id"))
+    }),
+
+    // J3 grid-partitioned kNN join (exact, expanding cell disks)
+    "q08_knn_join" -> ((s, dir) => {
+      val pts = withCentroid(extracted(s, dir))
+        .select(col("d").as("pid"), col("lonc").as("lon"), col("latc").as("lat"), col("cell"))
+      val qs = s.read.parquet(s"$dir/nation.parquet").collect().map { r =>
+        val n = r.getAs[Int]("n_nationkey").toLong
+        val (x0, y0, _, _) = Pages.polyBounds(n)
+        (n, x0 + 12.0, y0 + 9.0)
+      }.toSeq
+      SpatialJoins.knnJoin(qs, pts, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("pid"), col("dist2"))
+    }),
+
+    // J4 temporal interval-overlap join against quarter dims
+    "q09_temporal_join" -> ((s, dir) => {
+      val quarters = s.sql(
+        "SELECT explode(sequence(to_date('2015-01-01'), to_date('2017-10-01'), interval 3 month)) AS q_start")
+        .withColumn("q_end", date_add(add_months(col("q_start"), 3), -1))
+      val t = extracted(s, dir)
+        .filter(col("tbox_start").isNotNull && !col("tbox_start").startsWith("-"))
+        .select(to_date(col("tbox_start")).as("t_start"), to_date(col("tbox_end")).as("t_end"))
+      SpatialJoins.intervalOverlapJoin(t, quarters, "t_start", "t_end", "q_start", "q_end")
+        .groupBy(date_format(col("q_start"), "yyyy-MM-dd").as("q_start"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // north_rule tiler: per-extent quadkey cover + per-tile merge
+    "q10_tiles" -> ((s, dir) =>
+      Tiler.tileSummaries(extracted(s, dir), Pages.TileZoom)
+        .select(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"),
+          col("cnt"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))),
+
+    // R2 convex-hull merge (rows-only check: hull not SQL-expressible)
+    "q11_hull_merge" -> ((s, dir) => {
+      val areaUdf = udf((ring: Seq[Double]) => {
+        val pts = ring.grouped(2).map(p => (p(0), p(1))).toArray
+        graft.geo.Geo.ringArea(pts)
+      })
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(Aggregators.hullMerge(array(
+          col("min_lon"), col("min_lat"), col("max_lon"), col("min_lat"),
+          col("max_lon"), col("max_lat"), col("min_lon"), col("max_lat"))).as("hull"))
+        .select(col("g"), (size(col("hull")) / 2).cast("long").as("n_vertices"),
+          areaUdf(col("hull")).as("area"))
+    }),
+
+    // X1/X4 WKT rendering (point detection R8 included)
+    "q12_wkt" -> ((s, dir) => {
+      val wktUdf = udf((a: Double, b: Double, c: Double, dd: Double) =>
+        graft.geo.Wkt.extentToWkt(graft.geo.Extent(a, b, c, dd)))
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          wktUdf(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("wkt"))
+    }),
+
+    // S10/S11 export union + summary-row filter
+    "q13_export_union" -> ((s, dir) => {
+      val e = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"), col("handler"))
+      val vec = e.filter(col("handler") === "vector")
+      val csv = e.filter(col("handler") === "csv")
+      def withSummary(df: DataFrame): DataFrame =
+        df.unionByName(df.agg(min(lit(-1L)).as("doc_id"), first(lit("graft:0.1")).as("handler")))
+      withSummary(vec).unionByName(withSummary(csv))
+        .filter(!col("handler").startsWith("graft:"))
+    }),
+
+    // J5 anti join
+    "q14_anti_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val skip = d.filter(col("doc_id") % 13 === 0).select("doc_id")
+      d.join(skip, Seq("doc_id"), "left_anti").select("doc_id")
+    }),
+
+    // F5/W1 cumulative-size selection window
+    "q15_cumsum_select" -> ((s, dir) =>
+      TextOps.sizeLimitedSelect(docs(s, dir), "n_chars", "doc_id", 50000L)
+        .select(col("doc_id"), col("n_chars"), col("cum_size"))),
+
+    // W2 top-k per group
+    "q16_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir).withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+    }),
+
+    // dedup: exact (hash-groupBy)
+    "q17_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDupGroups(docs(s, dir))),
+
+    // doc fingerprinting
+    "q18_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        substring(md5(to_binary(col("text"), lit("utf-8"))), 1, 15).as("fp_hex"))),
+
+    // text quality scoring
+    "q19_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(docs(s, dir))),
+
+    // language id heuristic
+    "q20_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langIdCol(col("text")).as("lang_pred"))),
+
+    // BPE-ish regex token counting
+    "q21_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_tokens"))),
+
+    // ANN: brute-force cosine top-k (exact baseline)
+    "q22_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
+    }),
+
+    // dedup: MinHash-LSH candidate pairs (rows-only)
+    "q23_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashCandidatePairs(docs(s, dir))),
+
+    // dedup: SimHash near-dup pairs (rows-only)
+    "q24_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashCandidatePairs(docs(s, dir))),
+
+    // dedup: exact n-gram Jaccard verify over MinHash candidates (rows-only)
+    "q25_jaccard_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.exactJaccard(TextOps.minhashCandidatePairs(d).select("doc_a", "doc_b"), d)
+    }),
+
+    // shingle statistics (distinct word-3-grams per doc)
+    "q26_shingles" -> ((s, dir) => {
+      val nUdf = udf((text: String) => TextOps.shingleHashes(text).length.toLong)
+      docs(s, dir)
+        .filter(size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")) >= 3)
+        .select(col("doc_id"), nUdf(col("text")).as("n_shingles"))
+    }),
+
+    // streaming-shaped windowed aggregation (batch form; streaming variant in tests)
+    "q27_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("min_value"), max("value").as("max_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("cnt"), col("min_value"), col("max_value"))),
+
+    // X6 signed-ISO geological periods from text
+    "q28_periods" -> ((s, dir) => {
+      val perUdf = udf((text: String) => {
+        val r = graft.parse.TextGeo.extract(text)
+        r.periods.map(_.value).distinct.toArray
+      })
+      Pages.pages(s, dir)
+        .select(col("d").as("doc_id"), explode(perUdf(col("text"))).as("period_name"))
+        .withColumn("p_start", element_at(typedLit(graft.parse.TextGeo.periods.map { case (k, v) => k -> v._1 }), col("period_name")))
+        .withColumn("p_end", element_at(typedLit(graft.parse.TextGeo.periods.map { case (k, v) => k -> v._2 }), col("period_name")))
+    }),
+
+    // R7 extraction statistics
+    "q30_stats" -> ((s, dir) =>
+      extracted(s, dir).groupBy("handler")
+        .agg(count(lit(1)).as("n_pages"), count(col("min_lon")).as("n_with_extent"))),
+
+    // byte-identical text passthrough invariant (north_star per-row invariant)
+    "q31_text_passthrough" -> ((s, dir) =>
+      Pages.pages(s, dir).select(col("d").as("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))),
+
+    // ANN: LSH-bucketed variant (rows-only; recall checked in tests)
+    "q32_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared closed-form CTE: per-page expected kind/extent/tbox (mirrors
+    * graft.table.PayloadSpec exactly — see that file for the contract).
+    */
+  private val EXT: String =
+    """WITH p0 AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
+p1 AS (SELECT d, (d % 10) AS k,
+  CASE WHEN (d % 100) >= 80 THEN 7.5 ELSE ((d*7) % 680)/2.0 - 170.0 END AS lon0,
+  CASE WHEN (d % 100) >= 80 THEN 51.5 ELSE ((d*3) % 320)/2.0 - 80.0 END AS lat0,
+  CASE WHEN (d % 100) >= 80 THEN 1.0 ELSE (d % 5)/2.0 + 0.5 END AS bw,
+  CASE WHEN (d % 100) >= 80 THEN 0.5 ELSE (d % 7)/4.0 + 0.25 END AS bh,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) AS dd,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) + CAST(d % 30 AS INTEGER) AS de,
+  CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 4.875 WHEN 1 THEN 13.375 WHEN 2 THEN 2.375 WHEN 3 THEN -3.625 ELSE 12.5 END AS plon,
+  CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 52.375 WHEN 1 THEN 52.5 WHEN 2 THEN 48.875 WHEN 3 THEN 40.5 ELSE 41.875 END AS plat,
+  (d % 3 = 0) AS hasper,
+  CAST((d//10) % 4 AS INTEGER) AS peri
+  FROM p0),
+p2 AS (SELECT *, lon0+bw AS lon1, lat0+bh AS lat1,
+  CASE WHEN k IN (0,1,2) THEN 'vector' WHEN k IN (3,4) THEN 'csv' WHEN k IN (5,6,7) THEN 'html' ELSE 'text' END AS handler
+  FROM p1),
+ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
+  CASE WHEN k <= 6 THEN lon0 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lon0 WHEN k = 8 THEN plon END AS min_lon,
+  CASE WHEN k <= 6 THEN lat0 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lat0 WHEN k = 8 THEN plat END AS min_lat,
+  CASE WHEN k <= 6 THEN lon1 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lon0 WHEN k = 8 THEN plon END AS max_lon,
+  CASE WHEN k <= 6 THEN lat1 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lat0 WHEN k = 8 THEN plat END AS max_lat,
+  CASE WHEN k IN (0,1,2,3,5,6) THEN strftime(dd, '%Y-%m-%d')
+       WHEN k = 8 AND hasper THEN (CASE peri WHEN 0 THEN '-9750-01-01' WHEN 1 THEN '-2578050-01-01' WHEN 2 THEN '-201298050-01-01' ELSE '-144998050-01-01' END)
+       WHEN k = 8 THEN strftime(dd, '%Y-%m-%d') END AS tbox_start,
+  CASE WHEN k IN (0,1,2,3) THEN strftime(dd, '%Y-%m-%d')
+       WHEN k IN (5,6,8) THEN strftime(de, '%Y-%m-%d') END AS tbox_end
+  FROM p2)
+"""
+
+  private val MERC16 =
+    "CAST(floor((0.5 - ln((1.0+sin(radians(%s)))/(1.0-sin(radians(%s))))/(4.0*pi()))*16.0) AS BIGINT)"
+  private val MERC64 =
+    "CAST(floor((0.5 - ln((1.0+sin(radians(%s)))/(1.0-sin(radians(%s))))/(4.0*pi()))*64.0) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_extract_extent" -> (EXT +
+      "SELECT d AS doc_id, handler, min_lon, min_lat, max_lon, max_lat FROM ext"),
+
+    "q02_extract_tbox" -> (EXT +
+      "SELECT d AS doc_id, tbox_start, tbox_end FROM ext"),
+
+    "q03_handler_counts" -> (EXT +
+      "SELECT handler, CAST(count(*) AS BIGINT) AS cnt FROM ext GROUP BY 1"),
+
+    "q04_bbox_merge" -> (EXT +
+      """SELECT (d % 97) AS g, CAST(count(min_lon) AS BIGINT) AS n_ext,
+min(min_lon) AS min_lon, min(min_lat) AS min_lat, max(max_lon) AS max_lon, max(max_lat) AS max_lat
+FROM ext WHERE min_lon IS NOT NULL GROUP BY 1"""),
+
+    "q05_tbox_merge" -> (EXT +
+      """, t AS (SELECT (d % 97) AS g, tbox_start, tbox_end,
+  CASE WHEN tbox_start LIKE '-%' THEN (CASE peri WHEN 0 THEN -97499899 WHEN 1 THEN -25780499899 WHEN 2 THEN -2012980499899 ELSE -1449980499899 END)
+       ELSE CAST(strftime(CAST(tbox_start AS DATE), '%Y%m%d') AS BIGINT) END AS skey,
+  CAST(strftime(CAST(tbox_end AS DATE), '%Y%m%d') AS BIGINT) AS ekey
+FROM ext WHERE tbox_start IS NOT NULL)
+SELECT g, arg_min(tbox_start, skey) AS tbox_start, arg_max(tbox_end, ekey) AS tbox_end FROM t GROUP BY g"""),
+
+    "q06_cell_encode" -> (EXT +
+      s""", c AS (SELECT d, (min_lon+max_lon)/2 AS lonc, (min_lat+max_lat)/2 AS latc FROM ext WHERE min_lon IS NOT NULL)
+SELECT d AS doc_id, CAST(floor((lonc+180.0)/360.0*16.0) AS BIGINT) AS tx,
+${MERC16.format("latc", "latc")} AS ty FROM c"""),
+
+    "q07_pip_join" -> (EXT +
+      """SELECT e.d AS doc_id, CAST(n.n_nationkey AS BIGINT) AS poly_id
+FROM ext e JOIN nation n ON
+  (e.min_lon+e.max_lon)/2 > ((n.n_nationkey*37) % 300) - 150 + 0.015625 AND
+  (e.min_lon+e.max_lon)/2 < ((n.n_nationkey*37) % 300) - 150 + 0.015625 + 24.0 AND
+  (e.min_lat+e.max_lat)/2 > ((n.n_nationkey*23) % 130) - 65 + 0.015625 AND
+  (e.min_lat+e.max_lat)/2 < ((n.n_nationkey*23) % 130) - 65 + 0.015625 + 18.0
+WHERE e.min_lon IS NOT NULL"""),
+
+    "q08_knn_join" -> (EXT +
+      """, nat AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+  ((n_nationkey*37) % 300) - 150 + 0.015625 + 12.0 AS qlon,
+  ((n_nationkey*23) % 130) - 65 + 0.015625 + 9.0 AS qlat FROM nation),
+c AS (SELECT qid, e.d AS pid,
+  ((e.min_lon+e.max_lon)/2 - qlon)*((e.min_lon+e.max_lon)/2 - qlon) +
+  ((e.min_lat+e.max_lat)/2 - qlat)*((e.min_lat+e.max_lat)/2 - qlat) AS dist2
+  FROM nat, ext e WHERE e.min_lon IS NOT NULL),
+r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM c)
+SELECT qid, CAST(rank AS BIGINT) AS rank, pid, dist2 FROM r WHERE rank <= 5"""),
+
+    "q09_temporal_join" -> (EXT +
+      """, qs AS (SELECT unnest(generate_series(DATE '2015-01-01', DATE '2017-10-01', INTERVAL 3 MONTH)) AS q0),
+q2 AS (SELECT CAST(q0 AS DATE) AS q_start, CAST(q0 + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS q_end FROM qs),
+t AS (SELECT CAST(tbox_start AS DATE) AS t_start, CAST(tbox_end AS DATE) AS t_end FROM ext
+      WHERE tbox_start IS NOT NULL AND tbox_start NOT LIKE '-%')
+SELECT strftime(q.q_start, '%Y-%m-%d') AS q_start, CAST(count(*) AS BIGINT) AS cnt
+FROM q2 q JOIN t ON t.t_start <= q.q_end AND q.q_start <= t.t_end GROUP BY 1"""),
+
+    "q10_tiles" -> (EXT +
+      s""", e AS (SELECT d, min_lon, min_lat, max_lon, max_lat,
+  CAST(floor((min_lon+180.0)/360.0*64.0) AS BIGINT) AS tx0,
+  CAST(floor((max_lon+180.0)/360.0*64.0) AS BIGINT) AS tx1,
+  ${MERC64.format("max_lat", "max_lat")} AS ty0,
+  ${MERC64.format("min_lat", "min_lat")} AS ty1
+  FROM ext WHERE min_lon IS NOT NULL),
+a AS (SELECT d, min_lon, min_lat, max_lon, max_lat, gx.tx AS tx, gy.ty AS ty
+  FROM e, LATERAL unnest(generate_series(tx0, tx1)) AS gx(tx), LATERAL unnest(generate_series(ty0, ty1)) AS gy(ty))
+SELECT tx, ty, CAST(count(*) AS BIGINT) AS cnt,
+  min(min_lon) AS min_lon, min(min_lat) AS min_lat, max(max_lon) AS max_lon, max(max_lat) AS max_lat
+FROM a GROUP BY 1,2"""),
+
+    "q12_wkt" -> (EXT +
+      """SELECT d AS doc_id,
+CASE WHEN max_lon - min_lon <= 0.000001 AND max_lat - min_lat <= 0.000001
+  THEN 'POINT (' || printf('%.6f', min_lon) || ' ' || printf('%.6f', min_lat) || ')'
+  ELSE 'POLYGON ((' || printf('%.6f', min_lon) || ' ' || printf('%.6f', min_lat) || ', ' ||
+       printf('%.6f', max_lon) || ' ' || printf('%.6f', min_lat) || ', ' ||
+       printf('%.6f', max_lon) || ' ' || printf('%.6f', max_lat) || ', ' ||
+       printf('%.6f', min_lon) || ' ' || printf('%.6f', max_lat) || ', ' ||
+       printf('%.6f', min_lon) || ' ' || printf('%.6f', min_lat) || '))'
+END AS wkt FROM ext WHERE min_lon IS NOT NULL"""),
+
+    "q13_export_union" -> (EXT +
+      "SELECT d AS doc_id, handler FROM ext WHERE min_lon IS NOT NULL AND handler IN ('vector','csv')"),
+
+    "q14_anti_join" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 13 <> 0",
+
+    "q15_cumsum_select" ->
+      """SELECT doc_id, n_chars, cum_size FROM (
+SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_size
+FROM documents) WHERE cum_size <= 50000""",
+
+    "q16_topk" ->
+      """SELECT lang, rank, doc_id, n_chars FROM (
+SELECT lang, doc_id, n_chars, CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents) WHERE rank <= 3""",
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS cnt, min(doc_id) AS canonical_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
+    "q18_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 15) AS fp_hex FROM documents",
+
+    "q19_quality" ->
+      """SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS upper_ratio,
+  CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', '')))//5
+     + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', '')))//5
+     + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', '')))//4
+     + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', '')))//4
+     + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', '')))//3 AS DOUBLE)
+   / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+FROM documents""",
+
+    "q20_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', '')))//5
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', '')))//5
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', '')))//4 AS s_en,
+  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', '')))//5
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', '')))//5
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', '')))//5 AS s_de,
+  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', '')))//4
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', '')))//4
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' les ', '')))//5 AS s_fr,
+  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', '')))//4
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' y ', '')))//3
++ (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', '')))//5 AS s_es
+FROM documents)
+SELECT doc_id, CASE
+  WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+  WHEN s_de >= greatest(s_en, s_fr, s_es) AND s_de > 0 THEN 'de'
+  WHEN s_fr >= greatest(s_en, s_de, s_es) AND s_fr > 0 THEN 'fr'
+  WHEN s_es >= greatest(s_en, s_de, s_fr) AND s_es > 0 THEN 'es'
+  ELSE 'und' END AS lang_pred FROM s""",
+
+    "q21_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+FROM documents""",
+
+    "q22_ann_topk" ->
+      """WITH pr AS (SELECT vec_id AS pid, embedding AS p FROM embeddings WHERE vec_id < 10),
+c AS (SELECT pid, e.vec_id AS nid,
+  list_dot_product(p, e.embedding) / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM pr, embeddings e WHERE e.vec_id <> pid),
+r AS (SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank FROM c)
+SELECT pid, CAST(rank AS BIGINT) AS rank, nid FROM r WHERE rank <= 5""",
+
+    "q26_shingles" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+sh AS (SELECT doc_id, toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS sh
+  FROM s, LATERAL unnest(generate_series(1, n-2)) AS g(i))
+SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles FROM sh GROUP BY 1""",
+
+    "q27_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+CAST(count(*) AS BIGINT) AS cnt, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1,2""",
+
+    "q28_periods" -> (EXT +
+      """SELECT d AS doc_id,
+CASE peri WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END AS period_name,
+CASE peri WHEN 0 THEN '-9750-01-01' WHEN 1 THEN '-2578050-01-01' WHEN 2 THEN '-201298050-01-01' ELSE '-144998050-01-01' END AS p_start,
+CASE peri WHEN 0 THEN '1950-01-01' WHEN 1 THEN '-9750-01-01' WHEN 2 THEN '-144998050-01-01' ELSE '-65998050-01-01' END AS p_end
+FROM ext WHERE k = 8 AND hasper"""),
+
+    "q30_stats" -> (EXT +
+      """SELECT handler, CAST(count(*) AS BIGINT) AS n_pages, CAST(count(min_lon) AS BIGINT) AS n_with_extent
+FROM ext GROUP BY 1"""),
+
+    "q31_text_passthrough" -> (EXT +
+      """SELECT d AS doc_id, md5(CASE
+  WHEN k = 8 THEN 'Survey near ' ||
+    (CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 'Amsterdam' WHEN 1 THEN 'Berlin' WHEN 2 THEN 'Paris' WHEN 3 THEN 'Madrid' ELSE 'Rome' END) ||
+    ' conducted from ' || strftime(dd, '%Y-%m-%d') || ' to ' || strftime(de, '%Y-%m-%d') || '.' ||
+    (CASE WHEN hasper THEN ' Deposits date to the ' ||
+      (CASE peri WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END) || '.'
+     ELSE '' END)
+  WHEN k = 9 THEN 'plain page with no spatial or temporal payload content at all'
+  ELSE 'page ' || d || ' embeds a machine readable payload in its markup'
+END) AS text_md5 FROM ext"""),
+  )
 }

@@ -1,0 +1,141 @@
+package graft.geo
+
+/** Spatial extent in WGS84, GeoJSON-internal axis order (lon first).
+  *
+  * Mirrors the reference's internal bbox contract
+  * (reference: geoextent/lib/extent.py:1147-1155 — `[minlon,minlat,maxlon,maxlat]`),
+  * re-expressed as a typed struct so it maps to a Spark `StructType` column.
+  */
+final case class Extent(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double) {
+  def merge(o: Extent): Extent =
+    Extent(math.min(minLon, o.minLon), math.min(minLat, o.minLat),
+           math.max(maxLon, o.maxLon), math.max(maxLat, o.maxLat))
+  def centroidLon: Double = (minLon + maxLon) / 2
+  def centroidLat: Double = (minLat + maxLat) / 2
+  def isPoint(tol: Double = 1e-6): Boolean =
+    math.abs(maxLon - minLon) <= tol && math.abs(maxLat - minLat) <= tol
+  def isNullIsland: Boolean =
+    minLon == 0.0 && minLat == 0.0 && maxLon == 0.0 && maxLat == 0.0
+  def corners: Array[(Double, Double)] =
+    Array((minLon, minLat), (maxLon, minLat), (maxLon, maxLat), (minLon, maxLat))
+  def intersects(o: Extent): Boolean =
+    minLon <= o.maxLon && o.minLon <= maxLon && minLat <= o.maxLat && o.minLat <= maxLat
+}
+
+object Geo {
+
+  /** WGS84 plausibility gate (reference: geoextent/lib/helpfunctions.py:366-383 —
+    * lat must be in [-90,90], lon in [-180,180]).
+    */
+  def plausibleWgs84(e: Extent): Boolean =
+    e.minLon >= -180 && e.maxLon <= 180 && e.minLat >= -90 && e.maxLat <= 90 &&
+      e.minLon <= e.maxLon && e.minLat <= e.maxLat
+
+  /** Envelope of a flat interleaved coordinate array [lon0,lat0,lon1,lat1,…].
+    * Returns None for empty input or non-finite coords.
+    */
+  def envelope(coords: Array[Double]): Option[Extent] = {
+    if (coords == null || coords.length < 2) return None
+    var minLon = Double.MaxValue; var minLat = Double.MaxValue
+    var maxLon = -Double.MaxValue; var maxLat = -Double.MaxValue
+    var i = 0
+    while (i + 1 < coords.length) {
+      val lon = coords(i); val lat = coords(i + 1)
+      if (lon.isNaN || lat.isNaN || lon.isInfinite || lat.isInfinite) return None
+      if (lon < minLon) minLon = lon
+      if (lon > maxLon) maxLon = lon
+      if (lat < minLat) minLat = lat
+      if (lat > maxLat) maxLat = lat
+      i += 2
+    }
+    if (minLon > maxLon) None else Some(Extent(minLon, minLat, maxLon, maxLat))
+  }
+
+  /** Ray-casting (even–odd crossing) point-in-polygon on a ring given as a flat
+    * interleaved [lon0,lat0,…] array. Ring need not be explicitly closed. Uses the
+    * standard half-open crossing rule, so points exactly on an edge are
+    * implementation-defined — the engine's synthetic polygon tables keep bounds off
+    * the data lattice (see graft.table.PayloadSpec) so the rule never matters for
+    * verified results. Semantics source: the reference attaches admin-boundary
+    * polygons from gazetteer GeoJSON (reference: geoextent/lib/gazetteer.py:219-250).
+    */
+  def pointInRing(lon: Double, lat: Double, ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    if (n < 3) return false
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Monotone-chain convex hull over (lon,lat) points; output ring is in
+    * counter-clockwise order starting from the lexicographically smallest vertex
+    * (canonical ordering → deterministic across partition orders, SURVEY §7
+    * "known-hard items" #1). Degenerate inputs: 0 pts → empty; 1 pt → that point;
+    * collinear set → the two end points.
+    */
+  def convexHull(points: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val pts = points.distinct.sortBy(p => (p._1, p._2))
+    if (pts.length <= 2) return pts
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    for (p <- pts) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0)
+        lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    for (p <- pts.reverseIterator) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0)
+        upper.remove(upper.length - 1)
+      upper += p
+    }
+    (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+  }
+
+  /** Shoelace area of a ring (not closed); positive for CCW rings. */
+  def ringArea(ring: Array[(Double, Double)]): Double = {
+    if (ring.length < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < ring.length) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.length)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s / 2
+  }
+
+  // ---- Web Mercator (EPSG:3857 <-> EPSG:4326), exact closed form ----
+  // The engine supports exactly the two CRSs its corpus carries (SURVEY §2 P4):
+  // identity 4326 and spherical Web Mercator.
+
+  val EarthRadius = 6378137.0
+  val MercMaxLat  = 85.05112878 // atan(sinh(pi)) — standard tile clamp
+
+  def lonToMercX(lon: Double): Double = EarthRadius * math.toRadians(lon)
+  def latToMercY(lat: Double): Double = {
+    val s = math.sin(math.toRadians(lat))
+    EarthRadius / 2.0 * math.log((1 + s) / (1 - s))
+  }
+  def mercXToLon(x: Double): Double = math.toDegrees(x / EarthRadius)
+  def mercYToLat(y: Double): Double =
+    math.toDegrees(2 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2)
+
+  def extentToMercator(e: Extent): Extent =
+    Extent(lonToMercX(e.minLon), latToMercY(e.minLat), lonToMercX(e.maxLon), latToMercY(e.maxLat))
+  def extentFromMercator(e: Extent): Extent =
+    Extent(mercXToLon(e.minLon), mercYToLat(e.minLat), mercXToLon(e.maxLon), mercYToLat(e.maxLat))
+}

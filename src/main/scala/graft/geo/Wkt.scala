@@ -1,0 +1,238 @@
+package graft.geo
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WKT / WKB codecs, from scratch (no JTS in /opt/spark/jars).
+  *
+  * Parser grammar follows the subset the reference consumes
+  * (reference: geoextent/lib/journals/_meta.py:31-91 — POINT/LINESTRING/POLYGON/
+  * MULTI-variants/GEOMETRYCOLLECTION, optional Z/M dims ignored beyond lon/lat).
+  * Writers mirror bbox_to_wkt / bbox_to_wkb
+  * (reference: geoextent/lib/helpfunctions.py:1684-1729 — NDR little-endian,
+  * 21-byte point / 93-byte polygon layouts).
+  */
+object Wkt {
+
+  /** Parse WKT, returning every coordinate as a flat [lon,lat,…] array, or None. */
+  def coords(wkt: String): Option[Array[Double]] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    if (s.isEmpty) return None
+    val p = new Parser(s)
+    try {
+      val out = ArrayBuffer.empty[Double]
+      p.geometry(out)
+      p.skipWs()
+      if (out.isEmpty || !p.atEnd) None else Some(out.toArray)
+    } catch { case _: ParseError => None }
+  }
+
+  def envelope(wkt: String): Option[Extent] = coords(wkt).flatMap(Geo.envelope)
+
+  private final class ParseError extends RuntimeException
+  private final class Parser(s: String) {
+    private var pos = 0
+    def atEnd: Boolean = pos >= s.length
+    def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    private def fail(): Nothing = throw new ParseError
+    private def expect(c: Char): Unit = { skipWs(); if (atEnd || s.charAt(pos) != c) fail(); pos += 1 }
+    private def peek: Char = { skipWs(); if (atEnd) fail(); s.charAt(pos) }
+
+    private def ident(): String = {
+      skipWs()
+      val start = pos
+      while (pos < s.length && (s.charAt(pos).isLetter)) pos += 1
+      if (pos == start) fail()
+      s.substring(start, pos).toUpperCase
+    }
+
+    private def number(): Double = {
+      skipWs()
+      val start = pos
+      while (pos < s.length && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      if (pos == start) fail()
+      try s.substring(start, pos).toDouble catch { case _: NumberFormatException => fail() }
+    }
+
+    /** point: two or more numbers; only first two (lon lat) kept. */
+    private def point(out: ArrayBuffer[Double]): Unit = {
+      out += number()
+      out += number()
+      // swallow optional Z / M ordinates
+      skipWs()
+      while (!atEnd && "+-0123456789.".indexOf(s.charAt(pos)) >= 0) { number(); skipWs() }
+    }
+
+    private def pointList(out: ArrayBuffer[Double]): Unit = {
+      expect('(')
+      point(out)
+      while (peek == ',') { pos += 1; point(out) }
+      expect(')')
+    }
+
+    private def ringList(out: ArrayBuffer[Double]): Unit = {
+      expect('(')
+      pointList(out)
+      while (peek == ',') { pos += 1; pointList(out) }
+      expect(')')
+    }
+
+    private def maybeDims(): Unit = {
+      skipWs()
+      val save = pos
+      if (!atEnd && s.charAt(pos).isLetter) {
+        val d = ident()
+        if (d != "Z" && d != "M" && d != "ZM") { pos = save }
+      }
+    }
+
+    private def maybeEmpty(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, pos, "EMPTY", 0, 5)) { pos += 5; true } else false
+    }
+
+    def geometry(out: ArrayBuffer[Double]): Unit = ident() match {
+      case "POINT" =>
+        maybeDims(); if (!maybeEmpty()) { expect('('); point(out); expect(')') }
+      case "LINESTRING" | "MULTIPOINT" =>
+        maybeDims()
+        if (!maybeEmpty()) {
+          // MULTIPOINT accepts both (1 2, 3 4) and ((1 2),(3 4))
+          expect('(')
+          if (peek == '(') {
+            pointList(out)
+            while (peek == ',') { pos += 1; pointList(out) }
+          } else {
+            point(out)
+            while (peek == ',') { pos += 1; point(out) }
+          }
+          expect(')')
+        }
+      case "POLYGON" | "MULTILINESTRING" =>
+        maybeDims(); if (!maybeEmpty()) ringList(out)
+      case "MULTIPOLYGON" =>
+        maybeDims()
+        if (!maybeEmpty()) {
+          expect('(')
+          ringList(out)
+          while (peek == ',') { pos += 1; ringList(out) }
+          expect(')')
+        }
+      case "GEOMETRYCOLLECTION" =>
+        maybeDims()
+        if (!maybeEmpty()) {
+          expect('(')
+          geometry(out)
+          while (peek == ',') { pos += 1; geometry(out) }
+          expect(')')
+        }
+      case _ => fail()
+    }
+  }
+
+  // ---- writers ----
+
+  private def fmt(v: Double): String = f"$v%.6f"
+
+  /** Extent → WKT: degenerate-point extents emit POINT, otherwise the envelope
+    * POLYGON ring, closed, CCW from the min corner (reference semantics:
+    * geoextent/lib/helpfunctions.py:1684-1703 + point detection 1339-1405).
+    */
+  def extentToWkt(e: Extent): String =
+    if (e.isPoint()) s"POINT (${fmt(e.minLon)} ${fmt(e.minLat)})"
+    else
+      s"POLYGON ((${fmt(e.minLon)} ${fmt(e.minLat)}, ${fmt(e.maxLon)} ${fmt(e.minLat)}, " +
+        s"${fmt(e.maxLon)} ${fmt(e.maxLat)}, ${fmt(e.minLon)} ${fmt(e.maxLat)}, " +
+        s"${fmt(e.minLon)} ${fmt(e.minLat)}))"
+
+  // ---- WKB (NDR / little-endian), hex-string form ----
+
+  private def putLe(bb: java.nio.ByteBuffer, d: Double): Unit = bb.putDouble(d)
+
+  /** Extent → hex WKB. Point extents → 21-byte WKB Point; else 93-byte WKB
+    * Polygon (1 ring, 5 points), both NDR (byte order 01), matching the layouts
+    * at reference: geoextent/lib/helpfunctions.py:1706-1729.
+    */
+  def extentToWkbHex(e: Extent): String = {
+    val isPt = e.isPoint()
+    val size = if (isPt) 21 else 93
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte) // NDR
+    if (isPt) {
+      bb.putInt(1) // wkbPoint
+      putLe(bb, e.minLon); putLe(bb, e.minLat)
+    } else {
+      bb.putInt(3) // wkbPolygon
+      bb.putInt(1) // 1 ring
+      bb.putInt(5) // 5 points
+      putLe(bb, e.minLon); putLe(bb, e.minLat)
+      putLe(bb, e.maxLon); putLe(bb, e.minLat)
+      putLe(bb, e.maxLon); putLe(bb, e.maxLat)
+      putLe(bb, e.minLon); putLe(bb, e.maxLat)
+      putLe(bb, e.minLon); putLe(bb, e.minLat)
+    }
+    val sb = new StringBuilder(size * 2)
+    bb.array().foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.toString
+  }
+
+  /** Hex-WKB → coordinate envelope. Supports NDR/XDR Point, LineString, Polygon,
+    * and Multi/collection nesting (the shapes the reference's CSV geometry-column
+    * scan accepts, reference: geoextent/lib/handle_csv.py:602-642).
+    */
+  def wkbHexEnvelope(hex: String): Option[Extent] = {
+    if (hex == null) return None
+    val h = hex.trim
+    if (h.isEmpty || h.length % 2 != 0 || !h.forall(c => Character.digit(c, 16) >= 0)) return None
+    val bytes = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = ((Character.digit(h.charAt(2 * i), 16) << 4) | Character.digit(h.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    val out = ArrayBuffer.empty[Double]
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      readWkbGeom(bb, out)
+      Geo.envelope(out.toArray)
+    } catch { case _: Exception => None }
+  }
+
+  private def readWkbGeom(bb: java.nio.ByteBuffer, out: ArrayBuffer[Double]): Unit = {
+    val order = bb.get()
+    bb.order(if (order == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    val rawType = bb.getInt()
+    val hasZ = (rawType & 0x80000000) != 0 || (rawType % 1000) != rawType && (rawType / 1000) % 10 == 1
+    val geomType = (rawType & 0x0fffffff) % 1000
+    val dims = if (hasZ) 3 else 2
+    def readPoint(): Unit = {
+      out += bb.getDouble(); out += bb.getDouble()
+      var k = 2
+      while (k < dims) { bb.getDouble(); k += 1 }
+    }
+    geomType match {
+      case 1 => readPoint()
+      case 2 =>
+        val n = bb.getInt(); (0 until n).foreach(_ => readPoint())
+      case 3 =>
+        val rings = bb.getInt()
+        (0 until rings).foreach { _ =>
+          val n = bb.getInt(); (0 until n).foreach(_ => readPoint())
+        }
+      case 4 | 5 | 6 | 7 =>
+        val n = bb.getInt(); (0 until n).foreach(_ => readWkbGeom(bb, out))
+      case _ => throw new IllegalArgumentException(s"wkb type $geomType")
+    }
+  }
+
+  /** Extent → GeoJSON geometry string (Point for degenerate, Polygon otherwise),
+    * matching bbox_to_geojson semantics (reference: geoextent/lib/helpfunctions.py:1732-1755).
+    */
+  def extentToGeoJson(e: Extent): String =
+    if (e.isPoint())
+      s"""{"type":"Point","coordinates":[${fmt(e.minLon)},${fmt(e.minLat)}]}"""
+    else
+      s"""{"type":"Polygon","coordinates":[[[${fmt(e.minLon)},${fmt(e.minLat)}],""" +
+        s"""[${fmt(e.maxLon)},${fmt(e.minLat)}],[${fmt(e.maxLon)},${fmt(e.maxLat)}],""" +
+        s"""[${fmt(e.minLon)},${fmt(e.maxLat)}],[${fmt(e.minLon)},${fmt(e.minLat)}]]]}"""
+}

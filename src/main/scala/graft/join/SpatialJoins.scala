@@ -1,0 +1,128 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.cells.QuadKey
+import graft.geo.Geo
+
+/** Spatial join planners (SURVEY §2.5 J1–J5) — explicit API-level rewrites of
+  * theta joins into cell-equi joins + residual predicates (SURVEY §4: a Catalyst
+  * rule adds no capability here; the planner function is simpler and testable).
+  */
+object SpatialJoins {
+
+  val pipUdf = udf((lon: Double, lat: Double, ring: Seq[Double]) =>
+    Geo.pointInRing(lon, lat, ring.toArray))
+
+  /** J1: point-in-polygon join. `points` needs (lon, lat, cell) columns; `polys`
+    * needs (poly_id, ring, cells). The polygon side is small (admin boundaries)
+    * → broadcast; the equi-prefilter on the cell id keeps the residual ray-cast
+    * to same-cell candidates only. At 10^12 pages this is a map-side join: no
+    * shuffle of the big side at all.
+    */
+  def pipJoin(points: DataFrame, polys: DataFrame): DataFrame = {
+    val polyCells = polys.select(col("poly_id"), col("ring"), explode(col("cells")).as("cell"))
+    points.join(broadcast(polyCells), Seq("cell"), "inner")
+      .filter(pipUdf(col("lon"), col("lat"), col("ring")))
+      .drop("ring")
+  }
+
+  /** J2: salted cell-equi join for the big/big case with hot cells (north_rule).
+    * The big side appends a deterministic salt from its row key; the (smaller,
+    * but not broadcastable) side explodes all S salts. Result equals the plain
+    * cell join — verified by property test — while hot cells fan out over S
+    * reducers instead of one.
+    */
+  def saltedCellJoin(big: DataFrame, small: DataFrame, keyCol: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", pmod(hash(col(keyCol)), lit(salts)))
+    val saltedSmall = small.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq("cell", "_salt"), "inner").drop("_salt")
+  }
+
+  /** J3: grid-partitioned kNN join with exact-result guarantee.
+    *
+    * `queries`(qid, qlon, qlat) is small; `points`(pid, lon, lat, cell at `zoom`)
+    * is the corpus. Each round covers a (2r+1)² cell disk around every remaining
+    * query, joins candidates through an exploded (cell → qid) broadcast map, and
+    * keeps a query's top-k only when the kth distance is ≤ the distance to the
+    * disk's boundary (no closer point can live outside the disk); otherwise the
+    * query goes to the next round with r doubled. Distances are squared degrees
+    * (the reference compares raw lon/lat, geoextent/lib/handle_text.py:129-135).
+    */
+  def knnJoin(queries: Seq[(Long, Double, Double)], points: DataFrame, k: Int,
+              zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    var remaining = queries
+    var r = 1
+    var acc: DataFrame = null
+    val maxR = (1 << zoom) // disk covers the world → guaranteed final
+    while (remaining.nonEmpty && r <= maxR) {
+      val cellMap = remaining.flatMap { case (qid, qlon, qlat) =>
+        QuadKey.disk(QuadKey.encode(qlat, qlon, zoom), math.min(r, maxR))
+          .map(c => (qid, qlon, qlat, c))
+      }.toDF("qid", "qlon", "qlat", "cell")
+      // disk bound: min distance from the query point to the covered rectangle's
+      // border; sides clamped at the world edge are unbounded (nothing beyond)
+      val bounds = remaining.map { case (qid, qlon, qlat) =>
+        val qc = QuadKey.encode(qlat, qlon, zoom)
+        val rr = math.min(r, maxR)
+        val cells = QuadKey.disk(qc, rr)
+        val ext = cells.map(QuadKey.tileExtent).reduce(_ merge _)
+        val n = 1 << zoom
+        val x = QuadKey.decodeX(qc); val y = QuadKey.decodeY(qc)
+        val left = if (x - rr <= 0) Double.MaxValue else qlon - ext.minLon
+        val right = if (x + rr >= n - 1) Double.MaxValue else ext.maxLon - qlon
+        val bot = if (y + rr >= n - 1) Double.MaxValue else qlat - ext.minLat
+        val top = if (y - rr <= 0) Double.MaxValue else ext.maxLat - qlat
+        val b = Seq(left, right, bot, top).min
+        (qid, if (b == Double.MaxValue) Double.MaxValue else b * b)
+      }.toMap
+      val cand = points.join(broadcast(cellMap), Seq("cell"), "inner")
+        .withColumn("dist2",
+          (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+            (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist2").asc, col("pid").asc)
+      val topk = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "rank", "pid", "dist2")
+      val perQ = topk.groupBy("qid").agg(count(lit(1)).as("cnt"), max("dist2").as("kth")).collect()
+        .map(row => (row.getLong(0), (row.getLong(1), row.getDouble(2)))).toMap
+      val satisfied = remaining.filter { case (qid, _, _) =>
+        perQ.get(qid).exists { case (cnt, kth) => cnt >= k && kth <= bounds(qid) }
+      }.map(_._1).toSet
+      val done = topk.filter(col("qid").isin(satisfied.toSeq: _*))
+      acc = if (acc == null) done else acc.unionByName(done)
+      remaining = remaining.filterNot(q => satisfied.contains(q._1))
+      r *= 2
+    }
+    // any stragglers at world-disk radius are exact by construction
+    acc
+  }
+
+  /** J4: temporal interval overlap join. The dim side (time buckets/quarters) is
+    * broadcast; the overlap predicate runs map-side. For big-big interval joins
+    * use `bucketedRangeJoin` (equi-prefilter on overlapping coarse buckets).
+    */
+  def intervalOverlapJoin(facts: DataFrame, dims: DataFrame,
+                          fStart: String, fEnd: String, dStart: String, dEnd: String): DataFrame =
+    facts.join(broadcast(dims),
+      col(fStart) <= col(dEnd) && col(dStart) <= col(fEnd), "inner")
+
+  /** Big-big interval join: explode both sides to coarse buckets (days/`bucketDays`),
+    * equi-join on bucket, then apply the exact overlap residual and dedup.
+    */
+  def bucketedRangeJoin(a: DataFrame, b: DataFrame,
+                        aStart: String, aEnd: String, bStart: String, bEnd: String,
+                        bucketDays: Int): DataFrame = {
+    def withBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bucket",
+        explode(sequence(floor(unix_date(col(s)) / bucketDays),
+          floor(unix_date(col(e)) / bucketDays))))
+    withBuckets(a, aStart, aEnd)
+      .join(withBuckets(b, bStart, bEnd), Seq("_bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .drop("_bucket").dropDuplicates()
+  }
+}

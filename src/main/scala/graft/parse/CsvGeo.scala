@@ -1,0 +1,132 @@
+package graft.parse
+
+import graft.geo.{Extent, Geo, Wkt}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** CSV payload extent extraction — the reference's 3-stage fallback re-expressed
+  * as one deterministic Scala kernel (reference: geoextent/lib/handle_csv.py:499-599):
+  *   stage 1/2: a geometry column (name-matched) parsed as WKT, then hex-WKB
+  *              (reference: handle_csv.py:334-496, value parser 602-642);
+  *   stage 3:   lat/lon columns matched by the column-name regex tables
+  *              (reference: handle_csv.py:19-50, copied verbatim below) with
+  *              numeric coercion min/max.
+  * Temporal: time column by regex + format-guess ladder, min/max
+  * (reference: handle_csv.py:860-906).
+  */
+object CsvGeo {
+
+  // Column-name regex tables, order-sensitive (reference: handle_csv.py:19-50).
+  private def rx(p: String) = java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val lonPatterns = Array(
+    "(.)*longitude", "(.)*long(.)*", "^lon", "lon$", "(.)*lng(.)*", "^x", "x$").map(rx)
+  private val latPatterns = Array(
+    "(.)*latitude(.)*", "^lat", "lat$", "^y", "y$").map(rx)
+  private val geomPatterns = Array(
+    "^geometry$", "(.)*geometry(.)*", "^wkt$", "(.)*wkt(.)*", "^wkb$", "(.)*wkb(.)*",
+    "^coordinates$", "^coordinates", "coordinates$", "(.)*coordinates(.)*",
+    "^coords$", "^coords", "coords$", "(.)*coords(.)*", "(.)*geom(.)*").map(rx)
+  private val timePatterns = Array(
+    "(.)*timestamp(.)*", "(.)*datetime(.)*", "(.)*time(.)*", "date$", "^date").map(rx)
+  private val crsPatterns = Array("^crs$", "^srsid$", "^epsg$").map(rx)
+
+  private def findColumn(header: Array[String], patterns: Array[java.util.regex.Pattern]): Option[Int] = {
+    for (p <- patterns; (h, i) <- header.zipWithIndex)
+      if (p.matcher(h.trim).find()) return Some(i)
+    None
+  }
+
+  /** Minimal CSV tokenizer: quoted fields (RFC4180 double-quote escape),
+    * delimiter sniffed from the header among [,;\t|] by max count
+    * (reference sniffs via csv.Sniffer, geoextent/lib/helpfunctions.py:394-398).
+    */
+  def parseCsv(payload: String): Option[(Array[String], Array[Array[String]])] = {
+    val lines = payload.split("\r?\n").iterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toArray
+    if (lines.length < 2) return None
+    val delim = Array(',', ';', '\t', '|').maxBy(d => lines(0).count(_ == d))
+    if (lines(0).count(_ == delim) == 0) return None
+    def splitLine(l: String): Array[String] = {
+      val out = ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inQ = false
+      var i = 0
+      while (i < l.length) {
+        val c = l.charAt(i)
+        if (inQ) {
+          if (c == '"') {
+            if (i + 1 < l.length && l.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+            else inQ = false
+          } else sb.append(c)
+        } else if (c == '"') inQ = true
+        else if (c == delim) { out += sb.toString; sb.clear() }
+        else sb.append(c)
+        i += 1
+      }
+      out += sb.toString
+      out.toArray
+    }
+    val header = splitLine(lines(0))
+    val rows = lines.drop(1).map(splitLine)
+    Some((header, rows))
+  }
+
+  /** Does the payload look like a coordinate-bearing CSV? Supported iff a header
+    * row exists and either a geometry column or both lat+lon columns match
+    * (reference support probe: geoextent/lib/handle_csv.py:113-165).
+    */
+  def isSupported(payload: String): Boolean =
+    parseCsv(payload).exists { case (header, _) =>
+      findColumn(header, geomPatterns).isDefined ||
+        (findColumn(header, latPatterns).isDefined && findColumn(header, lonPatterns).isDefined)
+    }
+
+  final case class CsvResult(extent: Option[Extent], tbox: Option[(String, String)], crs: String)
+
+  def extract(payload: String): Option[CsvResult] =
+    parseCsv(payload).map { case (header, rows) =>
+      val extent = extractExtent(header, rows)
+      val tbox = extractTbox(header, rows)
+      val crs = findColumn(header, crsPatterns).flatMap { ci =>
+        rows.headOption.map(_.lift(ci).getOrElse("4326").trim)
+      }.filter(_.nonEmpty).getOrElse("4326")
+      CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs)
+    }
+
+  private def extractExtent(header: Array[String], rows: Array[Array[String]]): Option[Extent] = {
+    // stage 1/2: geometry column (WKT, then hex-WKB), running envelope
+    findColumn(header, geomPatterns) match {
+      case Some(gi) =>
+        var env: Option[Extent] = None
+        for (r <- rows; v <- r.lift(gi); if v.trim.nonEmpty) {
+          val e = Wkt.envelope(v).orElse(Wkt.wkbHexEnvelope(v))
+          e.foreach(x => env = Some(env.fold(x)(_.merge(x))))
+        }
+        if (env.isDefined) return env
+      case None =>
+    }
+    // stage 3: lat/lon columns, numeric coercion min/max
+    (findColumn(header, latPatterns), findColumn(header, lonPatterns)) match {
+      case (Some(lati), Some(loni)) =>
+        val buf = ArrayBuffer.empty[Double]
+        for (r <- rows) {
+          (r.lift(loni), r.lift(lati)) match {
+            case (Some(lo), Some(la)) =>
+              try { val d1 = lo.trim.toDouble; val d2 = la.trim.toDouble; buf += d1; buf += d2 }
+              catch { case _: NumberFormatException => }
+            case _ =>
+          }
+        }
+        Geo.envelope(buf.toArray)
+      case _ => None
+    }
+  }
+
+  private def extractTbox(header: Array[String], rows: Array[Array[String]]): Option[(String, String)] =
+    findColumn(header, timePatterns).flatMap { ti =>
+      val values = rows.flatMap(_.lift(ti)).filter(_.trim.nonEmpty).toSeq
+      val dates = DateGuess.parseColumn(values)
+      if (dates.isEmpty) None
+      else Some((dates.min.toString, dates.max.toString))
+    }
+}

@@ -1,0 +1,93 @@
+package graft.parse
+
+import java.time.LocalDate
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+/** Deterministic date-format guessing ladder.
+  *
+  * Reproduces the reference's fixed fallback format list, in its order
+  * (reference: geoextent/lib/helpfunctions.py:486-513 — 25 strptime patterns,
+  * sample-based guess then whole-column parse). The engine uses the fixed
+  * ladder directly (determinism > adaptivity, SURVEY §4).
+  */
+object DateGuess {
+
+  private def fmt(p: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .appendPattern(p)
+      .parseDefaulting(ChronoField.MONTH_OF_YEAR, 1)
+      .parseDefaulting(ChronoField.DAY_OF_MONTH, 1)
+      .toFormatter(java.util.Locale.US)
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT)
+
+  /** (java pattern, has-date-part) in the reference ladder's order; time-only
+    * patterns are kept for order fidelity but yield no date.
+    */
+  private val ladder: Array[(DateTimeFormatter, Boolean)] = Array(
+    fmt("uuuu/MM/dd HH:mm:ss") -> true,
+    fmt("uuuu-MM-dd HH:mm:ss") -> true,
+    fmt("uuuu/MM/dd") -> true,
+    fmt("uuuu-MM-dd") -> true,
+    fmt("dd/MM/uuuu") -> true,
+    fmt("dd-MM-uuuu") -> true,
+    fmt("MM/dd/uuuu") -> true,
+    fmt("MM-dd-uuuu") -> true,
+    fmt("uuuuMMdd") -> true,
+    fmt("dd.MM.uuuu") -> true,
+    fmt("uuuu.MM.dd") -> true,
+    fmt("uuuu-MM-dd'T'HH:mm:ss") -> true,
+    fmt("uuuu-MM-dd'T'HH:mm:ss.SSSSSS") -> true,
+    fmt("uuuu-MM-dd'T'HH:mm:ssX") -> true,
+    fmt("uuuu-MM-dd HH:mm:ss.SSSSSS") -> true,
+    fmt("dd MMMM uuuu") -> true,
+    fmt("dd MMM uuuu") -> true,
+    fmt("EEE, dd MMM uuuu HH:mm:ss xx") -> true,
+    fmt("HH:mm:ss") -> false,
+    fmt("HH:mm:ss.SSS") -> false,
+    fmt("uuuu-MM") -> true,
+    fmt("uuuu") -> true,
+    fmt("uuuu-DDD") -> true,
+    fmt("dd/MM/uu") -> true,
+    fmt("MM/dd/uu") -> true,
+    fmt("uuuu.MM.dd HH:mm:ss") -> true,
+  )
+
+  /** First ladder format that parses the sample value, as a ladder index. */
+  def guessFormat(sample: String): Option[Int] = {
+    if (sample == null) return None
+    val t = sample.trim
+    if (t.isEmpty) return None
+    var i = 0
+    while (i < ladder.length) {
+      try {
+        ladder(i)._1.parse(t)
+        return Some(i)
+      } catch { case _: Exception => }
+      i += 1
+    }
+    None
+  }
+
+  def parseWith(idx: Int, value: String): Option[LocalDate] = {
+    val (f, hasDate) = ladder(idx)
+    if (!hasDate) return None
+    try Some(LocalDate.from(f.parse(value.trim)))
+    catch { case _: Exception => None }
+  }
+
+  /** Guess on the first parseable value, then parse the whole column with that
+    * format (the reference guesses on a 30-value sample,
+    * reference: geoextent/lib/helpfunctions.py:155,401-554).
+    */
+  def parseColumn(values: Seq[String]): Seq[LocalDate] = {
+    val fmtIdx = values.iterator.flatMap(guessFormat).buffered.headOption
+    fmtIdx match {
+      case None => Seq.empty
+      case Some(i) => values.flatMap(v => parseWith(i, v))
+    }
+  }
+
+  def parseOne(value: String): Option[LocalDate] =
+    guessFormat(value).flatMap(parseWith(_, value))
+}

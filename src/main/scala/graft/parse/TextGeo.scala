@@ -1,0 +1,155 @@
+package graft.parse
+
+import graft.geo.{Extent, Geo, SignedIso}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Text handler: deterministic replacement for the reference's spaCy-NER +
+  * online-gazetteer path (SURVEY §2 P7/P13).
+  *
+  * Place names are matched against a bundled offline gazetteer (broadcast-map
+  * analog of the Nominatim forward-geocode at reference:
+  * geoextent/lib/gazetteer.py:219-250); spatial extent is the envelope over hit
+  * points (reference: geoextent/lib/handle_text.py:129-135,165-186). Date/period
+  * phrases reproduce parse_date_entity semantics (reference:
+  * geoextent/lib/text_extraction/dates.py:33-181): explicit dates, year →
+  * whole-year envelope, decade "1990s", century "19th century", ranges
+  * "between X and Y", and named geological periods from the bundled ICS GTS2020
+  * gazetteer with signed-ISO deep time (reference:
+  * geoextent/lib/period_gazetteer.py:43-79, data periods.json).
+  *
+  * Text is NFC-normalised for matching only; the stored `text` column passes
+  * through byte-identical (reference: geoextent/lib/handle_text.py:333-335;
+  * SURVEY §7 known-hard #3).
+  */
+object TextGeo {
+
+  final case class Span(value: String, charStart: Int, charEnd: Int)
+  final case class TextResult(extent: Option[Extent], tbox: Option[(String, String)],
+                              places: Seq[Span], dates: Seq[Span], periods: Seq[Span])
+
+  /** Offline gazetteer: place name → (lat, lon). Deterministic stand-in for the
+    * reference's Nominatim lookups; coordinates are exact binary fractions so
+    * downstream golden values are float-stable.
+    */
+  val gazetteer: Map[String, (Double, Double)] = Map(
+    "Amsterdam" -> (52.375, 4.875),
+    "Berlin" -> (52.5, 13.375),
+    "Paris" -> (48.875, 2.375),
+    "Madrid" -> (40.5, -3.625),
+    "Rome" -> (41.875, 12.5),
+    "Muenster" -> (51.9625, 7.625),
+    "Barcelona" -> (41.375, 2.125),
+    "London" -> (51.5, -0.125),
+    "Vienna" -> (48.25, 16.375),
+    "Lisbon" -> (38.75, -9.125),
+  )
+
+  /** Bundled geological-period gazetteer (ICS GTS2020 boundaries, the values the
+    * reference ships in geoextent/lib/data/periods.json — public chronostratigraphic
+    * chart data; signed-ISO deep time, year 1950 = "present" datum).
+    */
+  val periods: Map[String, (String, String)] = Map(
+    "Holocene" -> ("-9750-01-01", "1950-01-01"),
+    "Pleistocene" -> ("-2578050-01-01", "-9750-01-01"),
+    "Quaternary" -> ("-2578050-01-01", "1950-01-01"),
+    "Cenozoic" -> ("-65998050-01-01", "1950-01-01"),
+    "Cretaceous" -> ("-144998050-01-01", "-65998050-01-01"),
+    "Jurassic" -> ("-201298050-01-01", "-144998050-01-01"),
+    "Triassic" -> ("-251900050-01-01", "-201298050-01-01"),
+    "Permian" -> ("-298898050-01-01", "-251900050-01-01"),
+    "Carboniferous" -> ("-358898050-01-01", "-298898050-01-01"),
+    "Devonian" -> ("-419198050-01-01", "-358898050-01-01"),
+    "Silurian" -> ("-443798050-01-01", "-419198050-01-01"),
+    "Ordovician" -> ("-485398050-01-01", "-443798050-01-01"),
+    "Cambrian" -> ("-538798050-01-01", "-485398050-01-01"),
+  )
+
+  private val isoDate = "\\b(\\d{4})-(\\d{2})-(\\d{2})\\b".r
+  private val betweenRange = "(?i)between\\s+(\\d{4})\\s+and\\s+(\\d{4})".r
+  private val decade = "\\b(\\d{3})0s\\b".r
+  private val century = "(?i)\\b(\\d{1,2})(?:st|nd|rd|th)\\s+century\\b".r
+  private val bareYear = "\\b(1[0-9]{3}|20[0-9]{2})\\b".r
+
+  def looksLikeText(s: String): Boolean = !s.trim.startsWith("<") && !s.trim.startsWith("{")
+
+  def extract(raw: String): TextResult = {
+    // NFC normalisation internal to matching; offsets refer to the normalised view
+    val text = java.text.Normalizer.normalize(
+      if (raw.nonEmpty && raw.charAt(0) == '﻿') raw.substring(1) else raw,
+      java.text.Normalizer.Form.NFC)
+
+    // places
+    val places = ArrayBuffer.empty[Span]
+    val pts = ArrayBuffer.empty[Double]
+    for ((name, (lat, lon)) <- gazetteer) {
+      var idx = text.indexOf(name)
+      while (idx >= 0) {
+        val before = if (idx == 0) ' ' else text.charAt(idx - 1)
+        val after = if (idx + name.length >= text.length) ' ' else text.charAt(idx + name.length)
+        if (!before.isLetter && !after.isLetter) {
+          places += Span(name, idx, idx + name.length)
+          pts += lon; pts += lat
+        }
+        idx = text.indexOf(name, idx + 1)
+      }
+    }
+    val extent = Geo.envelope(pts.toArray)
+
+    // periods (longest name first so e.g. "Late Jurassic" alias logic stays stable)
+    val periodSpans = ArrayBuffer.empty[Span]
+    var tStart: String = null
+    var tEnd: String = null
+    def fold(s: String, e: String): Unit = {
+      tStart = SignedIso.min(tStart, s)
+      tEnd = SignedIso.max(tEnd, e)
+    }
+    for (name <- periods.keys.toSeq.sortBy(n => (-n.length, n))) {
+      var idx = text.indexOf(name)
+      while (idx >= 0) {
+        if (!periodSpans.exists(sp => idx < sp.charEnd && idx + name.length > sp.charStart)) {
+          periodSpans += Span(name, idx, idx + name.length)
+          val (s, e) = periods(name)
+          fold(s, e)
+        }
+        idx = text.indexOf(name, idx + 1)
+      }
+    }
+
+    // dates: explicit ISO dates, then ranges/decades/centuries/years.
+    // Period matches win over overlapping date entities
+    // (reference: geoextent/lib/text_extraction/ner.py:110-141).
+    val dateSpans = ArrayBuffer.empty[Span]
+    def overlapsPeriod(a: Int, b: Int): Boolean =
+      periodSpans.exists(sp => a < sp.charEnd && b > sp.charStart)
+    for (m <- isoDate.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+      dateSpans += Span(m.matched, m.start, m.end)
+      fold(m.matched, m.matched)
+    }
+    for (m <- betweenRange.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+      dateSpans += Span(m.matched, m.start, m.end)
+      fold(s"${m.group(1)}-01-01", s"${m.group(2)}-12-31")
+    }
+    for (m <- decade.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+      dateSpans += Span(m.matched, m.start, m.end)
+      fold(s"${m.group(1)}0-01-01", s"${m.group(1)}9-12-31")
+    }
+    for (m <- century.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+      val c = m.group(1).toInt
+      dateSpans += Span(m.matched, m.start, m.end)
+      fold(f"${(c - 1) * 100 + 1}%04d-01-01", f"${c * 100}%04d-12-31")
+    }
+    if (dateSpans.isEmpty && periodSpans.isEmpty) {
+      // bare years only when no richer entity matched (mirrors the reference's
+      // entity precedence: a year inside a matched date/range is not re-counted)
+      for (m <- bareYear.findAllMatchIn(text)) {
+        dateSpans += Span(m.matched, m.start, m.end)
+        fold(s"${m.matched}-01-01", s"${m.matched}-12-31")
+      }
+    }
+
+    val tbox = if (tStart == null) None else Some((tStart, tEnd))
+    TextResult(extent, tbox, places.sortBy(_.charStart).toSeq,
+      dateSpans.sortBy(_.charStart).toSeq, periodSpans.sortBy(_.charStart).toSeq)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.parse
+
+import graft.geo.{Extent, Geo}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** KML / GPX / GML coordinate extraction via targeted regex scanning (no DOM —
+  * the payloads are embedded snippets inside page bodies, and a streaming regex
+  * scan keeps the kernel allocation-light for the hot mapPartitions path).
+  *
+  * Coordinate semantics mirror the reference's vector handler output
+  * (reference: geoextent/lib/handle_vector.py:206-254 — layer envelope over all
+  * geometry vertices): KML `<coordinates>` holds comma-separated lon,lat[,alt]
+  * tuples; GPX carries lat/lon attributes on wpt/trkpt/rtept; GML posList holds
+  * space-separated pairs.
+  */
+object XmlGeo {
+
+  private val kmlCoords = "(?s)<coordinates>(.*?)</coordinates>".r
+  private val gpxPt = """<(?:wpt|trkpt|rtept)\s+[^>]*>""".r
+  private val latAttr = """lat\s*=\s*["']([-+0-9.eE]+)["']""".r
+  private val lonAttr = """lon\s*=\s*["']([-+0-9.eE]+)["']""".r
+  private val gmlPos = "(?s)<(?:gml:)?(?:posList|pos|coordinates)[^>]*>(.*?)</(?:gml:)?(?:posList|pos|coordinates)>".r
+  private val whenTag = "(?s)<when>(.*?)</when>".r
+  private val timeTag = "(?s)<time>(.*?)</time>".r
+
+  def looksLikeKml(s: String): Boolean = {
+    val t = s.take(4096)
+    t.contains("<kml") || (t.contains("<Placemark") && t.contains("<coordinates>"))
+  }
+  def looksLikeGpx(s: String): Boolean = s.take(4096).contains("<gpx")
+  def looksLikeGml(s: String): Boolean = {
+    val t = s.take(4096)
+    t.contains("<gml:") || t.contains("FeatureCollection xmlns:gml")
+  }
+
+  def kmlEnvelope(s: String): Option[Extent] = {
+    val buf = ArrayBuffer.empty[Double]
+    for (m <- kmlCoords.findAllMatchIn(s)) {
+      // tuples separated by whitespace; within a tuple lon,lat[,alt]
+      m.group(1).split("\\s+").foreach { tuple =>
+        val parts = tuple.split(",")
+        if (parts.length >= 2) {
+          try { buf += parts(0).trim.toDouble; buf += parts(1).trim.toDouble }
+          catch { case _: NumberFormatException => }
+        }
+      }
+    }
+    Geo.envelope(buf.toArray)
+  }
+
+  def gpxEnvelope(s: String): Option[Extent] = {
+    val buf = ArrayBuffer.empty[Double]
+    for (m <- gpxPt.findAllMatchIn(s)) {
+      val tag = m.matched
+      (latAttr.findFirstMatchIn(tag), lonAttr.findFirstMatchIn(tag)) match {
+        case (Some(la), Some(lo)) =>
+          try { buf += lo.group(1).toDouble; buf += la.group(1).toDouble }
+          catch { case _: NumberFormatException => }
+        case _ =>
+      }
+    }
+    Geo.envelope(buf.toArray)
+  }
+
+  def gmlEnvelope(s: String): Option[Extent] = {
+    val buf = ArrayBuffer.empty[Double]
+    for (m <- gmlPos.findAllMatchIn(s)) {
+      val nums = m.group(1).trim.split("[\\s,]+").flatMap { t =>
+        try Some(t.toDouble) catch { case _: NumberFormatException => None }
+      }
+      var i = 0
+      while (i + 1 < nums.length) { buf += nums(i); buf += nums(i + 1); i += 2 }
+    }
+    Geo.envelope(buf.toArray)
+  }
+
+  /** KML TimeStamp `<when>` / GPX `<time>` values (date or dateTime; the date
+    * part is what the reference's tbox keeps, format "%Y-%m-%d",
+    * reference: geoextent/lib/helpfunctions.py:40 + handle_vector.py:114-203).
+    */
+  def timeValues(s: String): Seq[String] =
+    (whenTag.findAllMatchIn(s).map(_.group(1).trim) ++
+      timeTag.findAllMatchIn(s).map(_.group(1).trim)).toSeq
+}

@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextOps
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (probe set broadcast; one
+  * narrow pass over the corpus + a top-k per probe). The LSH-bucketed variant
+  * (random-hyperplane signs with deterministic planes) is the 100 TB scale
+  * path: candidates come only from matching sign-buckets.
+  */
+object Ann {
+
+  /** Sequential-order dot/cosine (accumulation order fixed = index order, so
+    * results are reproducible across partitionings).
+    */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+
+  /** Exact top-k neighbors for each probe (brute force; probes broadcast). */
+  def cosineTopK(vectors: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val pairs = vectors.select(col("vec_id").as("nid"), col("embedding").as("v"))
+      .join(broadcast(probes.select(col("vec_id").as("pid"), col("embedding").as("p"))),
+        col("pid") =!= col("nid"))
+      .withColumn("cos", cosineUdf(col("p"), col("v")))
+    val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "nid", "cos")
+  }
+
+  /** Deterministic hyperplane component for (plane j, dim i): a fixed hash folded
+    * into [-1,1]. No Math.random — reproducible across runs and executors.
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val h = TextOps.fnv1a(s"ann-plane-$plane-$dim")
+    (h & 0xffffffffL).toDouble / 0x7fffffffL.toDouble - 1.0
+  }
+
+  def signBits(v: Seq[Float], numPlanes: Int): Long = {
+    var bits = 0L
+    var j = 0
+    while (j < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeComponent(j, i); i += 1 }
+      if (dot > 0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  val signBitsUdf = udf((v: Seq[Float], planes: Int) => signBits(v, planes))
+
+  /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
+    * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
+    * inside the candidate set.
+    */
+  def lshTopK(vectors: DataFrame, probes: DataFrame, k: Int,
+              tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val numPlanes = tables * bitsPerTable
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+          signBitsUdf(col("embedding"), lit(numPlanes)).as("_bits"))
+        .select(col(idCol), col(vecCol),
+          posexplode(array((0 until tables).map(t =>
+            shiftrightunsigned(col("_bits"), t * bitsPerTable)
+              .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
+    val v = withBuckets(vectors, "nid", "v")
+    val p = withBuckets(probes, "pid", "p")
+    val cand = v.join(broadcast(p), Seq("_table", "_bucket"))
+      .filter(col("pid") =!= col("nid"))
+      .dropDuplicates("pid", "nid")
+      .withColumn("cos", cosineUdf(col("p"), col("v")))
+    val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "nid", "cos")
+  }
+}

@@ -1,0 +1,208 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` table: deduplication
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard), text quality, language id,
+  * token counting, fingerprinting. All distributed-first: per-doc work is narrow;
+  * pair generation only ever happens inside LSH buckets (never a global cross
+  * join), so candidate volume scales with bucket skew, not corpus².
+  */
+object TextOps {
+
+  // ---- exact dedup (hash-groupBy) ----
+
+  /** Exact duplicate groups by content hash; canonical doc = min doc_id.
+    * At scale this is one shuffle on a 128-bit key with partial aggregation.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("canonical_doc"))
+      .filter(col("cnt") > 1)
+
+  // ---- shingling / MinHash ----
+
+  /** Deterministic 64-bit string hash (FNV-1a) — engine-owned so results are
+    * reproducible across Spark versions.
+    */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private val ShinglePrime = 2305843009213693951L // 2^61 - 1
+
+  /** Word 3-shingle hash set of a document (lowercased, whitespace tokens). */
+  def shingleHashes(text: String, k: Int = 3): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return if (toks.isEmpty) Array.empty else Array(fnv1a(toks.mkString(" ")))
+    val out = new Array[Long](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      out(i) = fnv1a(toks.slice(i, i + k).mkString(" "))
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = (a_i·x + b_i) mod p with
+    * fixed seeds (deterministic — no Math.random, per harness contract).
+    */
+  def minhash(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < numHashes) {
+      val a = fnv1a(s"minhash-a-$j") | 1L
+      val b = fnv1a(s"minhash-b-$j")
+      var i = 0
+      var mn = Long.MaxValue
+      while (i < shingles.length) {
+        val x = shingles(i) & Long.MaxValue
+        val v = (a * x + b) & Long.MaxValue // mix in [0, 2^63)
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    sig
+  }
+
+  val minhashUdf = udf((text: String, numHashes: Int) => minhash(shingleHashes(text), numHashes))
+  val shinglesUdf = udf((text: String) => shingleHashes(text))
+
+  /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
+    * band-hash bucket join (self-join within buckets only), pair dedup.
+    * Output (doc_a < doc_b, est_jaccard from full signatures).
+    */
+  def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = docs.select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
+    val l = banded.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bandhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard for a candidate-pair DataFrame (doc_a, doc_b). */
+  def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token FNV hashes. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
+      val h = fnv1a(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((text: String) => simhash(text))
+
+  /** SimHash near-dup candidates: equal 16-bit chunks (Hamming ≤ 3 ⇒ at least
+    * one of 4 chunks equal) → bucket join, then exact Hamming filter.
+    */
+  def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(c => shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "chunkval")))
+    val l = chunked.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunkval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // ---- quality / language / tokens / fingerprint ----
+
+  /** Marker stopwords per language for the n-gram language-id heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "))
+
+  private def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Deterministic language id: argmax of marker-word occurrence counts with
+    * alphabetical tie-break; all-zero → "und".
+    */
+  def langIdCol(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      (lang, markers.map(m => occurrences(padded, m)).reduce(_ + _))
+    }
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: token count, punctuation ratio, uppercase ratio,
+    * stopword ratio, mean token length.
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nTokens = size(split(trim(t), "\\s+"))
+    val punct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("double")
+    val upper = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    val stopHits = Seq(" the ", " and ", " of ", " to ", " a ")
+      .map(m => occurrences(concat(lit(" "), lower(t), lit(" ")), m)).reduce(_ + _)
+    docs.select(col("doc_id"),
+      nTokens.as("n_tokens"),
+      (punct / nChars).as("punct_ratio"),
+      (upper / nChars).as("upper_ratio"),
+      (stopHits.cast("double") / nTokens).as("stopword_ratio"))
+  }
+
+  /** 60-bit content fingerprint from the md5 prefix (hex → long), usable as a
+    * stable shard/dedup key.
+    */
+  def fingerprintCol(text: Column): Column =
+    conv(substring(md5(to_binary(text, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
+  /** Cumulative-size document selection (reference F5 semantics: running-sum
+    * knapsack prefix in a deterministic order,
+    * reference: geoextent/lib/helpfunctions.py:2012-2150).
+    */
+  def sizeLimitedSelect(docs: DataFrame, sizeCol: String, orderCol: String, limit: Long): DataFrame = {
+    val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_size", sum(col(sizeCol)).over(w))
+      .filter(col("cum_size") <= limit)
+  }
+}
