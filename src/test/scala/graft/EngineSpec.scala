@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end engine behavior on the sf0.001 testdata: entry smoke, text
+  * passthrough invariant, snapshot resume, streaming parity, ANN recall.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+  private def hasData = Files.exists(java.nio.file.Paths.get(sf, "lineitem.parquet"))
+
+  test("entry() flagship returns rows") {
+    assume(hasData)
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+    val handlers = rows.map(_.getString(0)).toSet
+    assert(Set("vector", "csv", "html", "text").subsetOf(handlers), handlers)
+  }
+
+  test("every query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("byte-identical text passthrough per url (north_star invariant)") {
+    assume(hasData)
+    val pages = table.Pages.pages(spark, sf)
+    val viaEngine = pages.select("d", "text").as[(Long, String)].collect().sortBy(_._1)
+    viaEngine.take(500).foreach { case (d, text) =>
+      assert(text === table.PayloadSpec.text(d), s"text drift for d=$d")
+    }
+  }
+
+  test("extraction is deterministic across partitioning (parallel == sequential, reference test_parallel_extraction.py)") {
+    assume(hasData)
+    val pages = table.Pages.pages(spark, sf)
+    val a = operators.Extractor.extract(pages.repartition(1)).collect().sortBy(_.d)
+    val b = operators.Extractor.extract(pages.repartition(8)).collect().sortBy(_.d)
+    assert(a.toList === b.toList)
+  }
+
+  test("snapshot checkpoint: resumable() replays without recompute (north_rule resumability)") {
+    assume(hasData)
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val computeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    def compute = {
+      computeCount.incrementAndGet()
+      table.Pages.pages(spark, sf).select("d", "url")
+    }
+    val first = table.Snapshots.resumable(spark, s"$dir/stage1", "extract")(compute)
+    val n1 = first.count()
+    assert(computeCount.get() === 1)
+    // second run must read the snapshot, not recompute
+    val second = table.Snapshots.resumable(spark, s"$dir/stage1", "extract") {
+      computeCount.incrementAndGet()
+      throw new IllegalStateException("must not recompute")
+    }
+    assert(second.count() === n1)
+    assert(computeCount.get() === 1)
+    // manifest carries per-partition lineage
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/stage1", "_graft_manifest.json"))
+    assert(manifest.contains("\"total_rows\"") && manifest.contains("\"partitions\""))
+  }
+
+  test("structured-streaming window agg matches the batch q27 result") {
+    assume(hasData)
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // FileStreamSource needs a directory; stage the single parquet file into one
+    val streamDir = Files.createTempDirectory("graft-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp")) // parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hr"), col("event_type"), col("cnt"))
+    val q = stream.writeStream.outputMode("complete").format("memory").queryName("ev_win").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ev_win")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("LSH ANN recall vs exact brute force is usable (>= 0.4 on random vectors)") {
+    assume(hasData)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = sim.Ann.cosineTopK(emb, probes, 5)
+      .select("pid", "nid").as[(Long, Long)].collect().toSet
+    val approx = sim.Ann.lshTopK(emb, probes, 5)
+      .select("pid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall") // random vectors: buckets trade recall for scale
+  }
+
+  test("minhash est_jaccard approximates exact jaccard on candidates") {
+    assume(hasData)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cand = text.TextOps.minhashCandidatePairs(docs)
+    val verified = text.TextOps.exactJaccard(cand.select("doc_a", "doc_b"), docs)
+      .join(cand, Seq("doc_a", "doc_b"))
+      .select("jaccard", "est_jaccard").as[(Double, Double)].collect()
+    assume(verified.nonEmpty)
+    verified.foreach { case (j, est) => assert(math.abs(j - est) < 0.35, s"exact=$j est=$est") }
+  }
+
+  test("exact dedup groups really are byte-identical texts") {
+    assume(hasData)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val groups = text.TextOps.exactDupGroups(docs).collect()
+    if (groups.nonEmpty) {
+      val h = groups.head.getString(0)
+      val texts = docs.withColumn("h", md5(to_binary(col("text"), lit("utf-8"))))
+        .filter(col("h") === h).select("text").as[String].collect()
+      assert(texts.distinct.length === 1)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.join
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cells.QuadKey
+
+class JoinsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def randomPoints(n: Int, seed: Long) = {
+    val r = new java.util.Random(seed)
+    Seq.fill(n) {
+      val lon = r.nextDouble() * 340 - 170
+      val lat = r.nextDouble() * 160 - 80
+      (r.nextLong().abs, lon, lat, QuadKey.encode(lat, lon, 4))
+    }
+  }
+
+  test("pipJoin equals brute-force rectangle membership") {
+    val pts = randomPoints(2000, 1L).toDF("doc_id", "lon", "lat", "cell")
+    val polys = Seq(
+      (1L, "a", -50.0, -20.0, 10.0, 15.0),
+      (2L, "b", 100.0, 40.0, 130.0, 70.0),
+      (3L, "c", -170.0, -80.0, -100.0, -40.0))
+    val polyDf = polys.map { case (id, name, x0, y0, x1, y1) =>
+      (id, name, Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0),
+        QuadKey.cover(graft.geo.Extent(x0, y0, x1, y1), 4))
+    }.toDF("poly_id", "name", "ring", "cells")
+    val got = SpatialJoins.pipJoin(pts, polyDf)
+      .select("doc_id", "poly_id").as[(Long, Long)].collect().toSet
+    val raw = pts.select("doc_id", "lon", "lat").as[(Long, Double, Double)].collect()
+    val expected = (for {
+      (id, lon, lat) <- raw
+      (pid, _, x0, y0, x1, y1) <- polys
+      if lon > x0 && lon < x1 && lat > y0 && lat < y1
+    } yield (id, pid)).toSet
+    assert(got === expected)
+  }
+
+  test("saltedCellJoin equals plain cell join (north_rule skew handling)") {
+    // skew: 40% of points in one hot cell
+    val r = new java.util.Random(2L)
+    val pts = (1 to 1000).map { i =>
+      val hot = i % 5 < 2
+      val lon = if (hot) 7.5 else r.nextDouble() * 340 - 170
+      val lat = if (hot) 51.5 else r.nextDouble() * 160 - 80
+      (i.toLong, QuadKey.encode(lat, lon, 4))
+    }.toDF("doc_id", "cell")
+    val dim = pts.select("cell").distinct().withColumn("tag", col("cell") % 7)
+    val plain = pts.join(dim, Seq("cell")).select("doc_id", "tag").as[(Long, Long)].collect().toSet
+    val salted = SpatialJoins.saltedCellJoin(pts, dim, "doc_id", 8)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("knnJoin equals brute-force top-k (exactness of disk expansion)") {
+    val pts = randomPoints(3000, 3L)
+    val ptsDf = pts.toDF("pid", "lon", "lat", "cell")
+    val queries = Seq((1L, 0.0, 0.0), (2L, -160.0, -70.0), (3L, 150.0, 75.0), (4L, 7.5, 51.5))
+    val got = SpatialJoins.knnJoin(queries, ptsDf, 7)
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val expected = queries.map { case (qid, qlon, qlat) =>
+      qid -> pts.map { case (pid, lon, lat, _) =>
+        (pid, (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat))
+      }.sortBy { case (pid, d) => (d, pid) }.take(7).map(_._1).toList
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("bucketedRangeJoin equals plain interval overlap join") {
+    val r = new java.util.Random(4L)
+    def iv(n: Int, seed: Int) = (1 to n).map { i =>
+      val s = java.sql.Date.valueOf(java.time.LocalDate.of(2015, 1, 1).plusDays(r.nextInt(700)))
+      val e = java.sql.Date.valueOf(s.toLocalDate.plusDays(r.nextInt(40)))
+      (i.toLong * seed, s, e)
+    }
+    val a = iv(150, 1).toDF("a_id", "a_start", "a_end")
+    val b = iv(40, 1000).toDF("b_id", "b_start", "b_end")
+    val plain = a.join(b, col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bucketed = SpatialJoins.bucketedRangeJoin(a, b, "a_start", "a_end", "b_start", "b_end", 30)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(bucketed === plain)
+  }
+}

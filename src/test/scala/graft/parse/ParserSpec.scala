@@ -1,0 +1,188 @@
+package graft.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.Extent
+
+class ParserSpec extends AnyFunSuite {
+
+  // ---- HtmlMeta priority ladder (reference journals/_base.py:543-649) ----
+
+  test("JSON-LD GeoShape box beats ICBM decoy") {
+    val html =
+      """<html><head><script type="application/ld+json">{"@type":"Dataset",
+        |"spatialCoverage":{"@type":"Place","geo":{"@type":"GeoShape","box":"51.5 7.5 52.0 8.25"}}}</script>
+        |<meta name="ICBM" content="99.0, 99.0"></head></html>""".stripMargin
+    val r = HtmlMeta.extract(html)
+    assert(r.extent === Some(Extent(7.5, 51.5, 8.25, 52.0)))
+    assert(r.spatialSource === Some("jsonld"))
+  }
+
+  test("JSON-LD GeoCoordinates point and @graph nesting") {
+    val html =
+      """<html><head><script type="application/ld+json">{"@graph":[{"@type":"Dataset",
+        |"spatialCoverage":{"@type":"Place","geo":{"@type":"GeoCoordinates","latitude":51.5,"longitude":7.5}}}]}
+        |</script></head></html>""".stripMargin
+    assert(HtmlMeta.extract(html).extent === Some(Extent(7.5, 51.5, 7.5, 51.5)))
+  }
+
+  test("JSON-LD GeoShape polygon 'lat lon …'") {
+    val html =
+      """<html><head><script type="application/ld+json">{"spatialCoverage":{"geo":
+        |{"@type":"GeoShape","polygon":"0 0 0 4 3 4 3 0"}}}</script></head></html>""".stripMargin
+    assert(HtmlMeta.extract(html).extent === Some(Extent(0, 0, 4, 3)))
+  }
+
+  test("DC.SpatialCoverage WKT (priority 4)") {
+    val html =
+      """<html><head><meta name="DC.SpatialCoverage" scheme="WKT" content="POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))">
+        |</head></html>""".stripMargin
+    val r = HtmlMeta.extract(html)
+    assert(r.extent === Some(Extent(1, 2, 3, 4)))
+    assert(r.spatialSource === Some("dc.spatialcoverage:wkt"))
+  }
+
+  test("ISO 19139 entity-escaped snippet, prefix-insensitive (reference _meta.py:184-225)") {
+    val snippet = "&lt;gmd:EX_GeographicBoundingBox&gt;&lt;gmd:westBoundLongitude&gt;&lt;gco:Decimal&gt;5.5&lt;/gco:Decimal&gt;&lt;/gmd:westBoundLongitude&gt;" +
+      "&lt;gmd:eastBoundLongitude&gt;&lt;gco:Decimal&gt;6.5&lt;/gco:Decimal&gt;&lt;/gmd:eastBoundLongitude&gt;" +
+      "&lt;gmd:southBoundLatitude&gt;&lt;gco:Decimal&gt;50.0&lt;/gco:Decimal&gt;&lt;/gmd:southBoundLatitude&gt;" +
+      "&lt;gmd:northBoundLatitude&gt;&lt;gco:Decimal&gt;51.0&lt;/gco:Decimal&gt;&lt;/gmd:northBoundLatitude&gt;&lt;/gmd:EX_GeographicBoundingBox&gt;"
+    val html = s"""<html><head><meta name="ISO 19139" content="$snippet"></head></html>"""
+    val r = HtmlMeta.extract(html)
+    assert(r.extent === Some(Extent(5.5, 50.0, 6.5, 51.0)))
+    assert(r.spatialSource === Some("iso19139"))
+  }
+
+  test("DC.box arbitrary key order, missing limit → None (reference _meta.py:106-128)") {
+    assert(HtmlMeta.dcBox("name=x; southlimit=1; northlimit=2; westlimit=3; eastlimit=4; projection=EPSG:4326")
+      === Some(Extent(3, 1, 4, 2)))
+    assert(HtmlMeta.dcBox("southlimit=1; northlimit=2; westlimit=3").isEmpty)
+    assert(HtmlMeta.dcBox("southlimit=abc; northlimit=2; westlimit=3; eastlimit=4").isEmpty)
+  }
+
+  test("ICBM and geo.position (reference _meta.py:248-281)") {
+    assert(HtmlMeta.icbm("51.5, 7.5") === Some(Extent(7.5, 51.5, 7.5, 51.5)))
+    assert(HtmlMeta.icbm("51.5").isEmpty)
+    assert(HtmlMeta.geoPosition("51.5;7.5") === Some(Extent(7.5, 51.5, 7.5, 51.5)))
+  }
+
+  test("temporal: JSON-LD temporalCoverage interval then DC.temporal") {
+    val html1 =
+      """<html><head><script type="application/ld+json">{"temporalCoverage":"2015-03-04/2015-04-02"}</script>
+        |<meta name="DC.temporal" content="start=1999-01-01; end=1999-12-31;"></head></html>""".stripMargin
+    val r1 = HtmlMeta.extract(html1)
+    assert(r1.tbox === Some(("2015-03-04", "2015-04-02")))
+    assert(r1.temporalSource === Some("jsonld:temporalCoverage"))
+    val html2 = """<html><head><meta name="DC.temporal" content="start=1999-01-01; end=1999-12-31; scheme=W3C-DTF"></head></html>"""
+    assert(HtmlMeta.extract(html2).tbox === Some(("1999-01-01", "1999-12-31")))
+  }
+
+  // ---- CsvGeo (reference handle_csv.py) ----
+
+  test("CSV stage-3 lat/lon columns with name variants (reference handle_csv.py:19-50)") {
+    for ((latCol, lonCol) <- Seq(("Latitude", "Longitude"), ("LAT", "LONG"), ("lat", "lng"), ("y", "x"))) {
+      val csv = s"$latCol,$lonCol,Name\n51.0,7.0,a\n52.5,8.5,b"
+      val r = CsvGeo.extract(csv)
+      assert(r.exists(_.extent === Some(Extent(7.0, 51.0, 8.5, 52.5))), s"cols $latCol/$lonCol: $r")
+    }
+  }
+
+  test("CSV geometry column: WKT then hex-WKB fallback (reference handle_csv.py:334-496)") {
+    val wktCsv = "Name,geometry\na,\"POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))\"\nb,\"POINT (10 20)\""
+    assert(CsvGeo.extract(wktCsv).get.extent === Some(Extent(1, 2, 10, 20)))
+    val hex = graft.geo.Wkt.extentToWkbHex(Extent(5, 6, 7, 8))
+    val wkbCsv = s"Name,wkb\na,$hex"
+    assert(CsvGeo.extract(wkbCsv).get.extent === Some(Extent(5, 6, 7, 8)))
+  }
+
+  test("CSV semicolon delimiter sniffing and quoted commas") {
+    val csv = "Latitude;Longitude;Name\n51.0;7.0;\"a;b\"\n52.0;8.0;c"
+    assert(CsvGeo.extract(csv).get.extent === Some(Extent(7.0, 51.0, 8.0, 52.0)))
+  }
+
+  test("CSV CRS column pickup (reference handle_csv.py:909-955)") {
+    val csv = "Latitude,Longitude,EPSG\n51.0,7.0,4326"
+    assert(CsvGeo.extract(csv).get.crs === "4326")
+  }
+
+  test("CSV time column + format ladder (reference handle_csv.py:860-906)") {
+    val csv = "Latitude,Longitude,Date\n51.0,7.0,05.03.2016\n52.0,8.0,06.03.2016"
+    assert(CsvGeo.extract(csv).get.tbox === Some(("2016-03-05", "2016-03-06")))
+  }
+
+  // ---- DateGuess ladder (reference helpfunctions.py:486-513) ----
+
+  test("format ladder: order-sensitive day-first preference") {
+    assert(DateGuess.parseOne("2016-03-05").get.toString === "2016-03-05")
+    assert(DateGuess.parseOne("05.03.2016").get.toString === "2016-03-05")
+    assert(DateGuess.parseOne("2016/03/05").get.toString === "2016-03-05")
+    assert(DateGuess.parseOne("05-03-2016").get.toString === "2016-03-05") // %d-%m-%Y before %m-%d-%Y
+    assert(DateGuess.parseOne("04/03/2016").get.toString === "2016-03-04") // %d/%m/%Y wins
+    assert(DateGuess.parseOne("2013-01-01T12:30:45Z").get.toString === "2013-01-01")
+    assert(DateGuess.parseOne("23 March 2023").get.toString === "2023-03-23")
+    assert(DateGuess.parseOne("20230323").get.toString === "2023-03-23")
+    assert(DateGuess.parseOne("not a date").isEmpty)
+  }
+
+  // ---- TextGeo (reference text_extraction/dates.py, gazetteer) ----
+
+  test("text: between-range, decade, century (reference dates.py:33-181)") {
+    assert(TextGeo.extract("measurements between 2010 and 2015 here").tbox ===
+      Some(("2010-01-01", "2015-12-31")))
+    assert(TextGeo.extract("during the 1990s a lot happened").tbox ===
+      Some(("1990-01-01", "1999-12-31")))
+    assert(TextGeo.extract("built in the 19th century").tbox ===
+      Some(("1801-01-01", "1900-12-31")))
+  }
+
+  test("text: geological period beats overlapping dates; deep-time signed ISO") {
+    val r = TextGeo.extract("Deposits date to the Holocene.")
+    assert(r.tbox === Some(("-9750-01-01", "1950-01-01")))
+    assert(r.periods.map(_.value) === Seq("Holocene"))
+  }
+
+  test("text: gazetteer places with char offsets") {
+    val r = TextGeo.extract("From Amsterdam to Berlin by train.")
+    assert(r.places.map(_.value).sorted === Seq("Amsterdam", "Berlin"))
+    val a = r.places.find(_.value == "Amsterdam").get
+    assert(a.charStart === 5 && a.charEnd === 14)
+    // envelope over both points
+    assert(r.extent === Some(Extent(4.875, 52.375, 13.375, 52.5)))
+  }
+
+  test("text: word-boundary matching (no substring hits)") {
+    val r = TextGeo.extract("The Parisian cafe")
+    assert(r.places.isEmpty) // 'Paris' inside 'Parisian' must not match
+  }
+
+  // ---- RasterHeader (reference handle_raster.py) ----
+
+  test("raster corner math (reference handle_raster.py:99-106)") {
+    val e = RasterHeader.extent(Array(10.0, 0.5, 0.0, 20.0, 0.0, -0.25), 20, 40, 4326)
+    assert(e === Some(Extent(10.0, 10.0, 20.0, 20.0)))
+  }
+
+  test("raster temporal priority chain (reference handle_raster.py:344-398)") {
+    // CF wins
+    assert(RasterHeader.tbox("days since 2000-01-01", Array(0.0, 31.0), "2010-01-01", "2010-12-31", "2020:05:05 00:00:00", null)
+      === Some(("2000-01-01", "2000-02-01")))
+    // then ACDD
+    assert(RasterHeader.tbox(null, null, "2010-01-01", "2010-12-31", "2020:05:05 00:00:00", null)
+      === Some(("2010-01-01", "2010-12-31")))
+    // then TIFFTAG %Y:%m:%d
+    assert(RasterHeader.tbox(null, null, null, null, "2020:05:05 12:00:00", null)
+      === Some(("2020-05-05", "2020-05-05")))
+  }
+
+  // ---- dispatch (reference extent.py:58-64) ----
+
+  test("handler dispatch order: CSV claims before vector/html/text") {
+    val csv = "Latitude,Longitude\n51.0,7.0"
+    assert(Extract.extract(csv.getBytes("UTF-8"), "", "en").handler === "csv")
+    val gj = """{"type":"Point","coordinates":[7.5,51.5]}"""
+    assert(Extract.extract(gj.getBytes("UTF-8"), "", "en").handler === "vector")
+    val html = """<html><head><meta name="ICBM" content="51.5, 7.5"></head></html>"""
+    assert(Extract.extract(html.getBytes("UTF-8"), "", "en").handler === "html")
+    val wrapper = "<html><body>Survey near Paris.</body></html>"
+    assert(Extract.extract(wrapper.getBytes("UTF-8"), "Survey near Paris.", "en").handler === "text")
+  }
+}
