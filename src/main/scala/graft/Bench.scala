@@ -1,24 +1,121 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Measures the north-rule headline — spatial-join + tiling throughput in
+  * pages/sec over the synthetic Common-Crawl-style corpus — at two parallelism
+  * levels (local[N] vs local[4N] threads on identical input), evidencing the
+  * BASELINE.json two-cluster-size scaling criterion, plus per-query wall times
+  * for the full SparkEntry.queries surface at the high parallelism level.
+  *
+  * The pages corpus is materialized to parquet once (generation is corpus
+  * synthesis, not engine work) so the measured pipeline is: parquet scan →
+  * extraction (mapPartitions parse + cell encode) → bbox/tbox merge →
+  * broadcast PIP join → quadkey tile rollup.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // the corpus is a handful of parquet files; small splits keep all
+      // threads busy on the scan+parse stage (cluster analog: many input files)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The headline pipeline; returns total output rows (forces full execution). */
+  private def flagship(spark: SparkSession, pagesPath: String, sfDir: String): Long = {
+    val pages = spark.read.parquet(pagesPath)
+    val extracted = operators.Extractor.extract(pages).toDF().cache()
+    try {
+      val withC = extracted.filter(col("min_lon").isNotNull)
+        .withColumn("lon", (col("min_lon") + col("max_lon")) / 2)
+        .withColumn("lat", (col("min_lat") + col("max_lat")) / 2)
+      val merged = extracted.filter(col("min_lon").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(min("min_lon"), min("min_lat"), max("max_lon"), max("max_lat"),
+          min("tbox_start"), max("tbox_end"))
+        .count()
+      val pip = join.SpatialJoins.pipJoin(
+        withC.select(col("d").as("doc_id"), col("lon"), col("lat"), col("cell")),
+        table.Pages.polygons(spark, sfDir)).count()
+      val nTiles = graft.tiles.Tiler.tileSummaries(extracted, table.Pages.TileZoom).count()
+      merged + pip + nTiles
+    } finally extracted.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    val pagesPath = s"/tmp/graft_bench_pages_${sfDir.replaceAll("[^0-9.]", "")}"
+
+    // Phase 0: materialize the corpus once (not timed) and warm the JVM (JIT
+    // compiles persist across SparkSessions — warming here keeps the two timed
+    // sessions comparable instead of gifting the second one the JIT work)
+    val prep = session(cpus)
+    val nPages = {
+      // 4× the sf corpus: enough parse work per timed run that fixed per-job
+      // costs don't dominate the scaling measurement
+      val p = table.Pages.pagesScaled(prep, sfDir, 4)
+      p.write.mode("overwrite").parquet(pagesPath)
+      prep.read.parquet(pagesPath).count()
+    }
+    flagship(prep, pagesPath, sfDir)
+    prep.stop()
+
+    // Phase 1: flagship throughput at N and 4N threads on identical input.
+    // The sandbox host shows heavy multi-minute load swings, so the two levels
+    // are interleaved round-robin and each level takes its min — comparing
+    // runs that executed within seconds of each other instead of minutes apart.
+    val times = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to 3; n <- Seq(lowCpus, cpus)) {
+      val s = session(n)
+      try {
+        val t0 = System.nanoTime()
+        flagship(s, pagesPath, sfDir)
+        times(n) = ((System.nanoTime() - t0) / 1e9) :: times(n)
+      } finally s.stop()
+    }
+    val secLow = times(lowCpus).min
+    val secHigh = times(cpus).min
+    val thrLow = nPages / secLow
+    val thrHigh = nPages / secHigh
+    val scalingEff = (thrHigh / thrLow) / (cpus.toDouble / lowCpus)
+
+    // Phase 2: headline per-query wall times at full parallelism (a subset —
+    // every extraction-based query re-parses the whole corpus, so timing all
+    // 31 at sf0.1 would mostly re-measure the same parse kernel)
+    val headline = Seq(
+      "q01_extract_extent", "q04_bbox_merge", "q05_tbox_merge", "q07_pip_join",
+      "q08_knn_join", "q10_tiles", "q17_dedup_exact", "q19_quality",
+      "q22_ann_topk", "q23_minhash_pairs", "q26_shingles", "q27_events_window")
+    val spark = session(cpus)
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"spatial-join + tiling throughput","value":${f"$thrHigh%.1f"},"unit":"pages/sec"""" +
+        s""","queries":$qs,"sf":"$sfDir","pages":$nPages""" +
+        s""","throughput_low":{"threads":$lowCpus,"sec":${f"$secLow%.2f"},"pages_per_sec":${f"$thrLow%.1f"}}""" +
+        s""","throughput_high":{"threads":$cpus,"sec":${f"$secHigh%.2f"},"pages_per_sec":${f"$thrHigh%.1f"}}""" +
+        s""","scaling_efficiency":${f"$scalingEff%.3f"},"queries_total_sec":${f"$total%.1f"}}""")
     spark.stop()
   }
 }

@@ -53,6 +53,8 @@ object SpatialJoins {
               zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // the corpus side is re-joined every round — materialize it once
+    val pts = points.select("pid", "lon", "lat", "cell").cache()
     var remaining = queries
     var r = 1
     var acc: DataFrame = null
@@ -78,7 +80,7 @@ object SpatialJoins {
         val b = Seq(left, right, bot, top).min
         (qid, if (b == Double.MaxValue) Double.MaxValue else b * b)
       }.toMap
-      val cand = points.join(broadcast(cellMap), Seq("cell"), "inner")
+      val cand = pts.join(broadcast(cellMap), Seq("cell"), "inner")
         .withColumn("dist2",
           (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
             (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
@@ -98,7 +100,10 @@ object SpatialJoins {
       r *= 2
     }
     // any stragglers at world-disk radius are exact by construction
-    acc
+    val out = if (acc == null) acc else acc.cache()
+    if (out != null) out.count() // materialize before releasing the corpus cache
+    pts.unpersist()
+    out
   }
 
   /** J4: temporal interval overlap join. The dim side (time buckets/quarters) is
