@@ -271,6 +271,54 @@ object SparkEntry {
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
     }),
+
+    // P5 raster extent — pure column corner math, no UDF
+    "q33_raster_extent" -> ((s, dir) =>
+      graft.table.RasterTable.extents(graft.table.RasterTable.rasters(s, dir))),
+
+    // P11 raster temporal priority chain (CF → ACDD → TIFFTAG → ACQUISITION)
+    "q34_raster_tbox" -> ((s, dir) =>
+      graft.table.RasterTable.tboxes(graft.table.RasterTable.rasters(s, dir))),
+
+    // R9 shared-placename reduction: split candidates, keep components seen >1
+    "q35_placename_shared" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").cast("long").as("custkey"),
+          concat(lit("N"), col("o_orderkey") % 5, lit("/M"), col("o_orderkey") % 3).as("name"))
+        .select(col("custkey"), explode(split(col("name"), "[,;/|]")).as("comp"))
+        .groupBy("custkey", "comp").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)),
+
+    // X5 DOI normalisation
+    "q36_doi_normalize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("doc_id"))
+        .withColumn("url", concat(lit("https://doi.org/10."), col("doc_id") % 90 + 10,
+          lit("/item."), col("doc_id")))
+        .select(col("doc_id"), graft.functions.Scalars.doiNormalize(col("url")).as("doi"))),
+
+    // X9 size-string parse
+    "q37_size_parse" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.Scalars.sizeToBytes(concat(col("n_chars"),
+          when(col("doc_id") % 3 === 0, "B").when(col("doc_id") % 3 === 1, "KB").otherwise("MB")))
+          .as("n_bytes"))),
+
+    // F5 'smallest' selection strategy (cumulative-size prefix over size order)
+    "q38_select_smallest" -> ((s, dir) => {
+      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).withColumn("cum_size", sum("n_chars").over(w))
+        .filter(col("cum_size") <= 30000)
+        .select(col("doc_id"), col("n_chars"), col("cum_size"))
+    }),
+
+    // multimodal: binary media columns → batched stubbed decode → features
+    // (rows-only: bytes are engine-synthesized; plumbing locked by tests)
+    "q39_media_features" -> ((s, dir) =>
+      graft.multimodal.Media.featureTable(s, dir)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feature_sum"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -497,5 +545,53 @@ FROM ext GROUP BY 1"""),
   WHEN k = 9 THEN 'plain page with no spatial or temporal payload content at all'
   ELSE 'page ' || d || ' embeds a machine readable payload in its markup'
 END) AS text_md5 FROM ext"""),
+
+    "q33_raster_extent" ->
+      """WITH x AS (SELECT p_partkey AS raster_id,
+  CAST(((p_partkey*11) % 300) - 150 AS DOUBLE) AS gt0,
+  CAST(((p_partkey*13) % 140) - 70 AS DOUBLE) AS gt3,
+  (64 + (p_partkey % 5)*32) AS width, (64 + (p_partkey % 7)*32) AS height FROM part)
+SELECT raster_id,
+  least(gt0, gt0 + width*0.03125) AS min_lon,
+  least(gt3, gt3 + height*(-0.015625)) AS min_lat,
+  greatest(gt0, gt0 + width*0.03125) AS max_lon,
+  greatest(gt3, gt3 + height*(-0.015625)) AS max_lat
+FROM x""",
+
+    "q34_raster_tbox" ->
+      """WITH x AS (SELECT p_partkey AS raster_id, (p_partkey % 4) AS m, p_partkey AS p FROM part)
+SELECT raster_id,
+  CASE m
+    WHEN 0 THEN strftime(DATE '2000-01-01' + CAST(p % 50 AS INTEGER), '%Y-%m-%d')
+    WHEN 1 THEN strftime(DATE '2010-01-01' + CAST(p % 100 AS INTEGER), '%Y-%m-%d')
+    WHEN 2 THEN strftime(DATE '2020-01-01' + CAST(p % 200 AS INTEGER), '%Y-%m-%d')
+    ELSE strftime(DATE '2021-01-01' + CAST(p % 30 AS INTEGER), '%Y-%m-%d') END AS tbox_start,
+  CASE m
+    WHEN 0 THEN strftime(DATE '2000-01-01' + CAST(p % 50 + p % 20 AS INTEGER), '%Y-%m-%d')
+    WHEN 1 THEN strftime(DATE '2010-01-01' + CAST(p % 100 + 5 AS INTEGER), '%Y-%m-%d')
+    WHEN 2 THEN strftime(DATE '2020-01-01' + CAST(p % 200 AS INTEGER), '%Y-%m-%d')
+    ELSE strftime(DATE '2021-01-01' + CAST(p % 30 AS INTEGER), '%Y-%m-%d') END AS tbox_end
+FROM x""",
+
+    "q35_placename_shared" ->
+      """WITH n AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+  'N' || (o_orderkey % 5) || '/M' || (o_orderkey % 3) AS name FROM orders),
+c AS (SELECT custkey, unnest(string_split_regex(name, '[,;/|]')) AS comp FROM n)
+SELECT custkey, comp, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1,2 HAVING count(*) > 1""",
+
+    "q36_doi_normalize" ->
+      """SELECT (l_orderkey*8 + l_linenumber) AS doc_id,
+regexp_extract('https://doi.org/10.' || ((l_orderkey*8 + l_linenumber) % 90 + 10) || '/item.' || (l_orderkey*8 + l_linenumber),
+  '(10\.\d{2,9}/[^\s]+)', 1) AS doi
+FROM lineitem""",
+
+    "q37_size_parse" ->
+      """SELECT doc_id, CAST(n_chars * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1000 ELSE 1000000 END) AS BIGINT) AS n_bytes
+FROM documents""",
+
+    "q38_select_smallest" ->
+      """SELECT doc_id, n_chars, cum_size FROM (
+SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_size
+FROM documents) WHERE cum_size <= 30000""",
   )
 }

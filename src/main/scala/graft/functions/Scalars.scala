@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Small scalar operators from the reference's helper surface (SURVEY §2.6),
+  * expressed as built-in column expressions — codegen'd, no UDFs.
+  */
+object Scalars {
+
+  /** X5: DOI normalisation — pull a bare DOI out of an identifier/URL
+    * (reference: geoextent/lib/helpfunctions.py:165-167,1257-1265).
+    */
+  def doiNormalize(c: Column): Column =
+    regexp_extract(c, "(10\\.\\d{2,9}/[^\\s]+)", 1)
+
+  /** X9: "100MB"-style size parse → bytes, decimal multipliers
+    * (reference: geoextent/lib/helpfunctions.py:1920-1946 via filesizelib).
+    * Unparseable input → null.
+    */
+  def sizeToBytes(c: Column): Column = {
+    val num = regexp_extract(c, "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([KMGT]?B)\\s*$", 1)
+    val unit = upper(regexp_extract(c, "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*([KMGT]?B)\\s*$", 2))
+    when(num === "", lit(null).cast("long"))
+      .otherwise((num.cast("double") *
+        when(unit === "B", 1L)
+          .when(unit === "KB", 1000L)
+          .when(unit === "MB", 1000000L)
+          .when(unit === "GB", 1000000000L)
+          .when(unit === "TB", 1000000000000L)).cast("long"))
+  }
+
+  /** X8: axis-order swap — the reference's public API emits EPSG:4326-native
+    * [lat,lon] while computing internally in GeoJSON [lon,lat] order
+    * (reference: geoextent/lib/extent.py:149-183). Presentation projection.
+    */
+  def swapToLatLon(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
+    struct(minLat.as("min_lat"), minLon.as("min_lon"), maxLat.as("max_lat"), maxLon.as("max_lon"))
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Tests for the round-1 add-on modules: multimodal media plumbing, streaming
+  * sessionization, scalar operators, raster table.
+  */
+class ModulesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media: deterministic bytes, batched feature extraction shape") {
+    val m = multimodal.Media.media(spark, sf).cache()
+    try {
+      val rows = m.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.kind).toSet === Set("image", "audio", "video"))
+      // determinism: regeneration yields identical bytes
+      val again = multimodal.Media.media(spark, sf).collect()
+      assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+        .forall { case (a, b) => java.util.Arrays.equals(a.bytes, b.bytes) })
+      val feats = multimodal.Media.extractFeatures(m, dim = 16).collect()
+      assert(feats.forall(_.features.length === 16))
+      assert(feats.forall(f => f.features.exists(_ != 0.0f)))
+      // stub decode is a pure function of bytes
+      val f0 = multimodal.Media.decodeImageStub(rows.head.bytes, 16)
+      assert(feats.find(_.media_id == rows.head.media_id).get.features.toList === f0.toList)
+    } finally m.unpersist()
+  }
+
+  test("media: resize/frame-sample stubs keep plumbing contracts") {
+    val row = multimodal.Media.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4, 5, 6), 32, 32, "png")
+    assert(multimodal.Media.resizeStub(row, 8, 8).width === 8)
+    assert(multimodal.Media.sampleFrameOffsetsStub(row.bytes, 2).toList === List(0, 2, 4))
+  }
+
+  test("sessionization: gap splitting and aggregation (batch mode)") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      streaming.EventWindows.Event(1, ts(0), 7, "a", 1.0),
+      streaming.EventWindows.Event(2, ts(10), 7, "a", 2.0),
+      streaming.EventWindows.Event(3, ts(100), 7, "a", 3.0), // > 30 min gap → new session
+      streaming.EventWindows.Event(4, ts(5), 8, "b", 4.0)
+    ).toDS()
+    val sessions = streaming.EventWindows.sessionize(events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0).user_id === 7 && sessions(0).n_events === 2 && sessions(0).total_value === 3.0)
+    assert(sessions(1).user_id === 7 && sessions(1).n_events === 1)
+    assert(sessions(2).user_id === 8 && sessions(2).n_events === 1)
+  }
+
+  test("streaming windowedCounts runs on a real stream and matches batch") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-evw")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), srcDir.resolve("e.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val q = streaming.EventWindows.windowedCounts(spark.readStream.schema(schema).parquet(srcDir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("evw").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("evw").count()
+    val batch = streaming.EventWindows.windowedCounts(spark.read.parquet(s"$sf/events.parquet")).count()
+    // append mode emits only watermark-closed windows; all but the last close
+    assert(streamed >= batch - 4 && streamed <= batch)
+  }
+
+  test("scalars: DOI normalize and size parse") {
+    val df = Seq(
+      ("https://doi.org/10.5281/zenodo.820562", "100MB"),
+      ("no doi here", "2.5GB"),
+      ("prefix 10.1234/abc.def suffix", "garbage")
+    ).toDF("url", "size")
+    val got = df.select(
+      functions.Scalars.doiNormalize(col("url")).as("doi"),
+      functions.Scalars.sizeToBytes(col("size")).as("bytes")
+    ).collect()
+    assert(got(0).getString(0) === "10.5281/zenodo.820562")
+    assert(got(0).getLong(1) === 100000000L)
+    assert(got(1).getString(0) === "")
+    assert(got(1).getLong(1) === 2500000000L)
+    assert(got(2).getString(0) === "10.1234/abc.def")
+    assert(got(2).isNullAt(1))
+  }
+
+  test("axis-order swap struct (reference extent.py:149-183)") {
+    val got = Seq((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
+      .select(functions.Scalars.swapToLatLon(col("a"), col("b"), col("c"), col("d")).as("s"))
+      .select("s.min_lat", "s.min_lon", "s.max_lat", "s.max_lon")
+      .as[(Double, Double, Double, Double)].head()
+    assert(got === ((2.0, 1.0, 4.0, 3.0)))
+  }
+
+  test("raster table: extents within plausibility, tbox priority modes all present") {
+    val r = table.RasterTable.rasters(spark, sf)
+    val e = table.RasterTable.extents(r).collect()
+    assert(e.length === r.count())
+    assert(e.forall(x => x.getDouble(1) >= -180 && x.getDouble(3) <= 180))
+    val t = table.RasterTable.tboxes(r)
+    val byMode = r.select("raster_id", "m").join(t, "raster_id")
+      .groupBy("m").count().collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(byMode.keySet === Set(0L, 1L, 2L, 3L)) // every chain stage fires
+  }
+}
