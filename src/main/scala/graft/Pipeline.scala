@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Resumable end-to-end pipeline main (north_rule: "resumable from checkpoint
+  * with per-partition lineage + metrics").
+  *
+  * Stages: synthesize/ingest pages → extract (snapshot) → merge (snapshot) →
+  * PIP join (snapshot) → tile rollup (snapshot). Each stage writes a Parquet
+  * snapshot with a `_graft_manifest.json` (total + per-partition row counts);
+  * re-running the main after a kill resumes from the last complete snapshot
+  * instead of recomputing upstream stages.
+  *
+  * Usage: runMain graft.Pipeline <sfDir> <workDir>
+  */
+object Pipeline {
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, workDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, workDir)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, workDir: String): Unit = {
+    import table.Snapshots.resumable
+
+    val extracted = resumable(spark, s"$workDir/s1_extracted", "extract") {
+      operators.Extractor.extract(table.Pages.pages(spark, sfDir)).toDF()
+    }
+
+    val merged = resumable(spark, s"$workDir/s2_merged", "bbox_tbox_merge") {
+      extracted.filter(col("min_lon").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(count(lit(1)).as("n_ext"),
+          min("min_lon").as("min_lon"), min("min_lat").as("min_lat"),
+          max("max_lon").as("max_lon"), max("max_lat").as("max_lat"),
+          min("tbox_start").as("tbox_start"), max("tbox_end").as("tbox_end"))
+    }
+
+    val pip = resumable(spark, s"$workDir/s3_pip", "pip_join") {
+      val pts = extracted.filter(col("min_lon").isNotNull && col("cell").isNotNull)
+        .withColumn("lon", (col("min_lon") + col("max_lon")) / 2)
+        .withColumn("lat", (col("min_lat") + col("max_lat")) / 2)
+        .select(col("d").as("doc_id"), col("lon"), col("lat"), col("cell"))
+      join.SpatialJoins.pipJoin(pts, table.Pages.polygons(spark, sfDir))
+        .select("doc_id", "poly_id")
+    }
+
+    val tilesOut = resumable(spark, s"$workDir/s4_tiles", "tile_rollup") {
+      graft.tiles.Tiler.tileSummaries(extracted, table.Pages.TileZoom)
+    }
+
+    println(s"""{"pipeline":"complete","extracted":${extracted.count()},"merged":${merged.count()},""" +
+      s""""pip_pairs":${pip.count()},"tiles":${tilesOut.count()}}""")
+  }
+}

@@ -319,6 +319,13 @@ object SparkEntry {
       graft.multimodal.Media.featureTable(s, dir)
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feature_sum"))),
+
+    // R4 hierarchy rollup: multi-level merge in one pass (cube/rollup built-in)
+    "q40_rollup" -> ((s, dir) =>
+      extracted(s, dir)
+        .withColumn("bucket", col("d") % 10)
+        .rollup(col("handler"), col("bucket"))
+        .agg(count(lit(1)).as("n_pages"), count(col("min_lon")).as("n_with_extent"))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -593,5 +600,10 @@ FROM documents""",
       """SELECT doc_id, n_chars, cum_size FROM (
 SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_size
 FROM documents) WHERE cum_size <= 30000""",
+
+    "q40_rollup" -> (EXT +
+      """SELECT handler, (d % 10) AS bucket, CAST(count(*) AS BIGINT) AS n_pages,
+CAST(count(min_lon) AS BIGINT) AS n_with_extent
+FROM ext GROUP BY ROLLUP(handler, (d % 10))"""),
   )
 }

@@ -70,6 +70,23 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("SkewPlanner: histogram-salted join equals plain join; only hot keys salted") {
+    val r = new java.util.Random(9L)
+    // 60% of rows on key 42, the rest spread over 200 keys
+    val big = (1 to 5000).map { i =>
+      val key = if (i % 5 < 3) 42L else (r.nextInt(200) + 100).toLong
+      (i.toLong, key)
+    }.toDF("doc_id", "cell")
+    val dim = big.select("cell").distinct().withColumn("tag", col("cell") * 3)
+    val hot = SkewPlanner.hotKeySalts(big, "cell", rowsPerTask = 500)
+    assert(hot.contains(42L) && hot(42L) > 1, s"hot keys: $hot")
+    assert(hot.keySet.forall(k => k == 42L || hot(k) <= 7)) // cold keys absent or tiny
+    val plain = big.join(dim, Seq("cell")).select("doc_id", "tag").as[(Long, Long)].collect().toSet
+    val salted = SkewPlanner.skewJoin(big, dim, "cell", rowsPerTask = 500)
+      .select("doc_id", "tag").as[(Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("bucketedRangeJoin equals plain interval overlap join") {
     val r = new java.util.Random(4L)
     def iv(n: Int, seed: Int) = (1 to n).map { i =>
