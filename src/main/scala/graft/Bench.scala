@@ -65,10 +65,12 @@ object Bench {
     // compiles persist across SparkSessions — warming here keeps the two timed
     // sessions comparable instead of gifting the second one the JIT work)
     val prep = session(cpus)
+    // scale the corpus with the thread budget: enough parse work per timed run
+    // that fixed per-job costs don't dominate, without blowing the wall budget
+    // when the driver runs with few threads
+    val mult = math.max(1, cpus / 8)
     val nPages = {
-      // 4× the sf corpus: enough parse work per timed run that fixed per-job
-      // costs don't dominate the scaling measurement
-      val p = table.Pages.pagesScaled(prep, sfDir, 4)
+      val p = table.Pages.pagesScaled(prep, sfDir, mult)
       p.write.mode("overwrite").parquet(pagesPath)
       prep.read.parquet(pagesPath).count()
     }
@@ -79,8 +81,9 @@ object Bench {
     // The sandbox host shows heavy multi-minute load swings, so the two levels
     // are interleaved round-robin and each level takes its min — comparing
     // runs that executed within seconds of each other instead of minutes apart.
+    val rounds = if (cpus >= 16) 3 else 2
     val times = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
-    for (_ <- 1 to 3; n <- Seq(lowCpus, cpus)) {
+    for (_ <- 1 to rounds; n <- Seq(lowCpus, cpus)) {
       val s = session(n)
       try {
         val t0 = System.nanoTime()

@@ -326,6 +326,14 @@ object SparkEntry {
         .withColumn("bucket", col("d") % 10)
         .rollup(col("handler"), col("bucket"))
         .agg(count(lit(1)).as("n_pages"), count(col("min_lon")).as("n_with_extent"))),
+
+    // S5/P6 point-cloud header extent (struct arithmetic, no UDF)
+    "q41_pointcloud_extent" -> ((s, dir) =>
+      graft.table.PointCloudTable.extents(graft.table.PointCloudTable.headers(s, dir))),
+
+    // P12 point-cloud creation-date tbox (year/day-of-year, laspy-default guard)
+    "q42_pointcloud_tbox" -> ((s, dir) =>
+      graft.table.PointCloudTable.tboxes(graft.table.PointCloudTable.headers(s, dir))),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -605,5 +613,19 @@ FROM documents) WHERE cum_size <= 30000""",
       """SELECT handler, (d % 10) AS bucket, CAST(count(*) AS BIGINT) AS n_pages,
 CAST(count(min_lon) AS BIGINT) AS n_with_extent
 FROM ext GROUP BY ROLLUP(handler, (d % 10))"""),
+
+    "q41_pointcloud_extent" ->
+      """SELECT s_suppkey AS cloud_id,
+  CAST(((s_suppkey*17) % 320) - 160 AS DOUBLE) AS min_lon,
+  CAST(((s_suppkey*19) % 150) - 75 AS DOUBLE) AS min_lat,
+  CAST(((s_suppkey*17) % 320) - 160 + (s_suppkey % 4 + 1) AS DOUBLE) AS max_lon,
+  CAST(((s_suppkey*19) % 150) - 75 + (s_suppkey % 3 + 1) AS DOUBLE) AS max_lat
+FROM supplier""",
+
+    "q42_pointcloud_tbox" ->
+      """SELECT s_suppkey AS cloud_id,
+  strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
+  strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
+FROM supplier WHERE s_suppkey % 10 <> 0""",
   )
 }

@@ -43,8 +43,13 @@ object Extract {
       else if (text != null) text
       else return none
 
-    // 1. CSV
-    if (CsvGeo.isSupported(payload)) {
+    // 1. CSV — cheap pre-gate first: a payload opening with markup/JSON can
+    // never satisfy the CSV support probe (its header must match coordinate
+    // column names), so skip the tokenizer for those instead of paying a full
+    // line-split per page. Preserves the reference's CSV-first claim order for
+    // every payload CSV could actually claim.
+    val head = firstNonWs(payload)
+    if (head != '<' && head != '{' && CsvGeo.isSupported(payload)) {
       CsvGeo.extract(payload) match {
         case Some(r) => return out("csv", r.extent, r.tbox, None, r.crs)
         case None =>
@@ -78,6 +83,12 @@ object Extract {
       return out("text", r.extent, r.tbox)
     }
     none
+  }
+
+  private def firstNonWs(s: String): Char = {
+    var i = 0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i < s.length) s.charAt(i) else ' '
   }
 
   private def timesOf(values: Seq[String]): Option[(String, String)] = {

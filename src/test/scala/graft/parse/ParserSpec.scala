@@ -109,6 +109,15 @@ class ParserSpec extends AnyFunSuite {
     assert(CsvGeo.extract(csv).get.tbox === Some(("2016-03-05", "2016-03-06")))
   }
 
+  test("GML posList/pos extraction") {
+    val gml =
+      """<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"><gml:featureMember>
+        |<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>1.0 2.0 3.0 2.0 3.0 4.0 1.0 2.0</gml:posList>
+        |</gml:LinearRing></gml:exterior></gml:Polygon></gml:featureMember></gml:FeatureCollection>""".stripMargin
+    assert(XmlGeo.looksLikeGml(gml))
+    assert(XmlGeo.gmlEnvelope(gml) === Some(Extent(1.0, 2.0, 3.0, 4.0)))
+  }
+
   // ---- DateGuess ladder (reference helpfunctions.py:486-513) ----
 
   test("format ladder: order-sensitive day-first preference") {
