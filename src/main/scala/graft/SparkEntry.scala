@@ -334,6 +334,11 @@ object SparkEntry {
     // P12 point-cloud creation-date tbox (year/day-of-year, laspy-default guard)
     "q42_pointcloud_tbox" -> ((s, dir) =>
       graft.table.PointCloudTable.tboxes(graft.table.PointCloudTable.headers(s, dir))),
+
+    // dedup: embedding-cosine near-dup pairs via LSH buckets (rows-only)
+    "q43_embed_neardup" -> ((s, dir) =>
+      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
   )
 
   // ---------------------------------------------------------------- oracles

@@ -67,6 +67,29 @@ object Ann {
 
   val signBitsUdf = udf((v: Seq[Float], planes: Int) => signBits(v, planes))
 
+  /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
+    * sign-buckets, exact cosine re-check against the threshold. Never forms
+    * the corpus cross product — pair volume scales with bucket occupancy.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val numPlanes = tables * bitsPerTable
+    val withBits = vectors.select(col("vec_id"), col("embedding"),
+      signBitsUdf(col("embedding"), lit(numPlanes)).as("_bits"))
+    val buckets = withBits.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("_bits"), t * bitsPerTable)
+          .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
+    val l = buckets.select(col("_table"), col("_bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val r = buckets.select(col("_table"), col("_bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    l.join(r, Seq("_table", "_bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", cosineUdf(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
     * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
     * inside the candidate set.

@@ -92,6 +92,30 @@ class ModulesSpec extends AnyFunSuite {
     assert(got === ((2.0, 1.0, 4.0, 3.0)))
   }
 
+  test("cell_encode registered as a SQL function (Catalyst expression via registry)") {
+    functions.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT cell_encode(51.5d, 7.5d, 4) AS c").collect().head.getLong(0)
+    assert(got === cells.QuadKey.encode(51.5, 7.5, 4))
+    // codegen path: runs inside a projection over a real table
+    val n = spark.range(100).selectExpr("cell_encode(CAST(id AS DOUBLE)/2, CAST(id AS DOUBLE), 6) AS c")
+      .distinct().count()
+    assert(n > 1)
+  }
+
+  test("embedding-cosine near-dup: pairs symmetric-free, above threshold, subset of exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = sim.Ann.cosineNearDupPairs(emb, threshold = 0.1).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.1))
+    // re-check a pair's cosine against the direct computation
+    if (pairs.nonEmpty) {
+      val p = pairs.head
+      val vecs = emb.filter(col("vec_id").isin(p.getLong(0), p.getLong(1)))
+        .orderBy("vec_id").collect().map(_.getSeq[Float](1))
+      assert(math.abs(sim.Ann.cosine(vecs(0), vecs(1)) - p.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("raster table: extents within plausibility, tbox priority modes all present") {
     val r = table.RasterTable.rasters(spark, sf)
     val e = table.RasterTable.extents(r).collect()
