@@ -78,7 +78,25 @@ object Aggregators {
       if (a == null || a.isEmpty) b else hullOf(b ++ a)
     def merge(x: Array[Double], y: Array[Double]): Array[Double] =
       if (x.isEmpty) y else if (y.isEmpty) x else hullOf(x ++ y)
-    def finish(b: Array[Double]): Array[Double] = b
+    /** Degenerate promotion on output (reference: helpfunctions.py:778-871):
+      * a single point → ε-square, a 2-vertex segment → thin rectangle
+      * (ε = 1e-10), so the merged hull is always a valid 2-D ring.
+      */
+    def finish(b: Array[Double]): Array[Double] = {
+      val eps = 1e-10
+      if (b.length == 2) {
+        val (x, y) = (b(0), b(1))
+        Array(x - eps, y - eps, x + eps, y - eps, x + eps, y + eps, x - eps, y + eps)
+      } else if (b.length == 4) {
+        // thin rectangle around the segment: offset both endpoints by ±ε along
+        // the perpendicular so the promoted ring is genuinely 2-D
+        val (x1, y1, x2, y2) = (b(0), b(1), b(2), b(3))
+        val len = math.max(math.hypot(x2 - x1, y2 - y1), 1e-300)
+        val px = -(y2 - y1) / len * eps
+        val py = (x2 - x1) / len * eps
+        hullOf(Array(x1 + px, y1 + py, x1 - px, y1 - py, x2 + px, y2 + py, x2 - px, y2 - py))
+      } else b
+    }
     def bufferEncoder: Encoder[Array[Double]] = ExprEnc.arrayDouble
     def outputEncoder: Encoder[Array[Double]] = ExprEnc.arrayDouble
   }
@@ -86,6 +104,16 @@ object Aggregators {
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayDouble: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** R6 hull-fallback cascade (reference: geoextent/lib/extent.py:845-892): if
+    * the hull column is null/degenerate, fall back to the bbox-envelope ring.
+    */
+  def hullOrEnvelope(hull: Column, minLon: Column, minLat: Column,
+                     maxLon: Column, maxLat: Column): Column = {
+    import org.apache.spark.sql.functions.{array, coalesce, size, when}
+    coalesce(when(size(hull) >= 6, hull),
+      array(minLon, minLat, maxLon, minLat, maxLon, maxLat, minLon, maxLat))
   }
 
   // Column-level entry points (product input encoders flatten to N columns)

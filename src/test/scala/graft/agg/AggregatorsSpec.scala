@@ -42,6 +42,27 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(got(1) === ((2, "2015-01-01", "2015-02-01")))
   }
 
+  test("HullMerge degenerate promotion: point → ε-square, segment → thin rect (reference helpfunctions.py:778-871)") {
+    val point = Seq((1, Array(5.0, 6.0))).toDF("g", "coords")
+      .groupBy("g").agg(Aggregators.hullMerge(col("coords")).as("hull"))
+      .as[(Int, Array[Double])].head()._2
+    assert(point.length === 8) // 4-vertex ε-square
+    assert(point.grouped(2).forall(p => math.abs(p(0) - 5.0) <= 1e-9 && math.abs(p(1) - 6.0) <= 1e-9))
+    val seg = Seq((1, Array(0.0, 0.0)), (1, Array(2.0, 2.0))).toDF("g", "coords")
+      .groupBy("g").agg(Aggregators.hullMerge(col("coords")).as("hull"))
+      .as[(Int, Array[Double])].head()._2
+    assert(seg.length >= 6) // promoted to a real 2-D ring
+  }
+
+  test("hullOrEnvelope falls back to the bbox ring for degenerate hulls (R6)") {
+    val got = Seq((Array(1.0, 2.0), 0.0, 0.0, 4.0, 3.0))
+      .toDF("hull", "min_lon", "min_lat", "max_lon", "max_lat")
+      .select(Aggregators.hullOrEnvelope(col("hull"), col("min_lon"), col("min_lat"),
+        col("max_lon"), col("max_lat")).as("h"))
+      .as[Array[Double]].head()
+    assert(got.toList === List(0.0, 0.0, 4.0, 0.0, 4.0, 3.0, 0.0, 3.0))
+  }
+
   test("HullMerge: hull of group vertex arrays, partitioning-invariant, contains all inputs") {
     val r = new java.util.Random(6L)
     val rows = (1 to 200).map { i =>

@@ -99,6 +99,11 @@ class ParserSpec extends AnyFunSuite {
     assert(CsvGeo.extract(csv).get.extent === Some(Extent(7.0, 51.0, 8.0, 52.0)))
   }
 
+  test("GeoCSV '#'-prefixed header lines are stripped (reference handle_csv.py:53-101)") {
+    val csv = "# dataset: GeoCSV 2.0\n# delimiter: ,\nLatitude,Longitude\n51.0,7.0\n52.0,8.0"
+    assert(CsvGeo.extract(csv).get.extent === Some(Extent(7.0, 51.0, 8.0, 52.0)))
+  }
+
   test("CSV CRS column pickup (reference handle_csv.py:909-955)") {
     val csv = "Latitude,Longitude,EPSG\n51.0,7.0,4326"
     assert(CsvGeo.extract(csv).get.crs === "4326")
