@@ -26,8 +26,17 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
+  /** Extraction stage shared by most queries. With `-Dgraft.cacheExtracted=true`
+    * (set by graft.Verify) the result is cached per (session, dir) so a batch
+    * of queries scans+parses the corpus once — the engine-level analog of a
+    * shared scan; results are identical either way.
+    */
+  private val extractedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def extracted(s: SparkSession, dir: String): DataFrame =
-    Extractor.extract(Pages.pages(s, dir)).toDF()
+    if (sys.props.get("graft.cacheExtracted").contains("true"))
+      extractedCache.getOrElseUpdate((s, dir), Extractor.extract(Pages.pages(s, dir)).toDF().cache())
+    else Extractor.extract(Pages.pages(s, dir)).toDF()
 
   private def withCentroid(df: DataFrame): DataFrame =
     df.filter(col("min_lon").isNotNull)
