@@ -36,6 +36,18 @@ object CsvGeo {
     None
   }
 
+  /** ALL columns matching any pattern, in pattern-priority order — the
+    * reference pools every matching column's values before min/max
+    * (reference: geoextent/lib/helpfunctions.py:216-236 search_for_parameters
+    * concatenates all matches, e.g. both "Centroid time (JST)" and "(UTC)").
+    */
+  private def findColumns(header: Array[String], patterns: Array[java.util.regex.Pattern]): Seq[Int] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    for (p <- patterns; (h, i) <- header.zipWithIndex)
+      if (p.matcher(h.trim).find()) out += i
+    out.toSeq
+  }
+
   /** Minimal CSV tokenizer: quoted fields (RFC4180 double-quote escape),
     * delimiter sniffed from the header among [,;\t|] by max count
     * (reference sniffs via csv.Sniffer, geoextent/lib/helpfunctions.py:394-398).
@@ -105,28 +117,30 @@ object CsvGeo {
         if (env.isDefined) return env
       case None =>
     }
-    // stage 3: lat/lon columns, numeric coercion min/max
-    (findColumn(header, latPatterns), findColumn(header, lonPatterns)) match {
-      case (Some(lati), Some(loni)) =>
-        val buf = ArrayBuffer.empty[Double]
-        for (r <- rows) {
-          (r.lift(loni), r.lift(lati)) match {
-            case (Some(lo), Some(la)) =>
-              try { val d1 = lo.trim.toDouble; val d2 = la.trim.toDouble; buf += d1; buf += d2 }
-              catch { case _: NumberFormatException => }
-            case _ =>
-          }
-        }
-        Geo.envelope(buf.toArray)
-      case _ => None
-    }
+    // stage 3: lat/lon columns (ALL matches pooled), numeric coercion min/max
+    val latIdx = findColumns(header, latPatterns)
+    val lonIdx = findColumns(header, lonPatterns)
+    if (latIdx.isEmpty || lonIdx.isEmpty) return None
+    def pool(idxs: Seq[Int]): Array[Double] =
+      (for (r <- rows; i <- idxs; v <- r.lift(i);
+            d <- try Some(v.trim.toDouble) catch { case _: NumberFormatException => None })
+        yield d).toArray
+    val lons = pool(lonIdx)
+    val lats = pool(latIdx)
+    if (lons.isEmpty || lats.isEmpty) None
+    else Some(Extent(lons.min, lats.min, lons.max, lats.max))
   }
 
-  private def extractTbox(header: Array[String], rows: Array[Array[String]]): Option[(String, String)] =
-    findColumn(header, timePatterns).flatMap { ti =>
+  private def extractTbox(header: Array[String], rows: Array[Array[String]]): Option[(String, String)] = {
+    // all time-matching columns pooled, per the reference (per-column format
+    // guess, union min/max — helpfunctions.py:216-236 + handle_csv.py:860-906)
+    val cols = findColumns(header, timePatterns)
+    if (cols.isEmpty) return None
+    val dates = cols.flatMap { ti =>
       val values = rows.flatMap(_.lift(ti)).filter(_.trim.nonEmpty).toSeq
-      val dates = DateGuess.parseColumn(values)
-      if (dates.isEmpty) None
-      else Some((dates.min.toString, dates.max.toString))
+      DateGuess.parseColumn(values)
     }
+    if (dates.isEmpty) None
+    else Some((dates.min.toString, dates.max.toString))
+  }
 }

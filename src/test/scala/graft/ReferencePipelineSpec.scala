@@ -77,6 +77,27 @@ class ReferencePipelineSpec extends AnyFunSuite {
     } finally extracted.unpersist()
   }
 
+  test("nested_folder merge golden: 3DCMT CSV + muenster (test_api.py:170-181)") {
+    val p1 = Paths.get(s"$base/folders/nested_folder/Folder_1/3DCMTcatalog_TakemuraEPS.csv")
+    val p2 = Paths.get(s"$base/folders/nested_folder/Folder_2/muenster_ring_zeit.geojson")
+    assume(Files.exists(p1) && Files.exists(p2), "fixtures unavailable")
+    val pages = Seq(
+      (1L, "u1", new java.sql.Timestamp(0L), Files.readAllBytes(p1), "", "en"),
+      (2L, "u2", new java.sql.Timestamp(0L), Files.readAllBytes(p2), "", "en"))
+      .toDF("d", "url", "warc_ts", "html", "text", "lang")
+    val merged = operators.Extractor.extract(pages).toDF()
+      .agg(min("min_lon"), min("min_lat"), max("max_lon"), max("max_lat"),
+        min("tbox_start"), max("tbox_end")).collect().head
+    // published: bbox [34.7, 7.601680, 51.974624, 142.0] (lat-lon), tbox 2017-04-08..2020-02-06
+    // (tbox start is the UTC column: the reference pools ALL time-matching columns)
+    assert(math.abs(merged.getDouble(0) - 7.601680) < 1e-3)
+    assert(math.abs(merged.getDouble(1) - 34.7) < 1e-3)
+    assert(math.abs(merged.getDouble(2) - 142.0) < 1e-3)
+    assert(math.abs(merged.getDouble(3) - 51.974624) < 1e-3)
+    assert(merged.getString(4) === "2017-04-08")
+    assert(merged.getString(5) === "2020-02-06")
+  }
+
   test("folder_two_files merge golden: muenster + barcelona districts (test_api.py:156-167)") {
     val p1 = Paths.get(s"$base/geojson/muenster_ring_zeit.geojson")
     val p2 = Paths.get(s"$base/folders/folder_two_files/districtes.geojson")
