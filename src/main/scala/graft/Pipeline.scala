@@ -39,12 +39,17 @@ object Pipeline {
     }
 
     val merged = resumable(spark, s"$workDir/s2_merged", "bbox_tbox_merge") {
+      // tbox via the typed Aggregator: signed-ISO deep-time strings mis-order
+      // under plain lexicographic min/max (R3 semantics, same as q05)
       extracted.filter(col("min_lon").isNotNull)
         .groupBy((col("d") % 97).as("g"))
         .agg(count(lit(1)).as("n_ext"),
           min("min_lon").as("min_lon"), min("min_lat").as("min_lat"),
           max("max_lon").as("max_lon"), max("max_lat").as("max_lat"),
-          min("tbox_start").as("tbox_start"), max("tbox_end").as("tbox_end"))
+          agg.Aggregators.tboxMerge(col("tbox_start"), col("tbox_end")).as("tm"))
+        .select(col("g"), col("n_ext"), col("min_lon"), col("min_lat"),
+          col("max_lon"), col("max_lat"),
+          col("tm.tbox_start").as("tbox_start"), col("tm.tbox_end").as("tbox_end"))
     }
 
     val pip = resumable(spark, s"$workDir/s3_pip", "pip_join") {

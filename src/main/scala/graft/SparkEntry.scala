@@ -46,6 +46,31 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Dedup-target corpus: the documents table plus closed-form planted
+    * duplicates — exact copies for every doc_id % 20 == 0 (id + 1000000) and
+    * near-duplicates (a fixed trailer appended) for doc_id % 25 == 0
+    * (id + 2000000). Mirrored verbatim in the DUP oracle CTE so the dedup
+    * operators are checked against group structure that actually exists.
+    */
+  private def docsDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate variant trailer token")).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** Oracle mirror of [[docsDup]]. */
+  private val DUP: String =
+    """WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id + 2000000, text || ' near duplicate variant trailer token' FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
   /** Flagship query on sf=0.001: full extract → merge pipeline. */
   def entry(spark: SparkSession): DataFrame = {
     val e = extracted(spark, "/root/testdata/sf0.001")
@@ -136,7 +161,9 @@ object SparkEntry {
         .select(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"),
           col("cnt"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))),
 
-    // R2 convex-hull merge (rows-only check: hull not SQL-expressible)
+    // R2 convex-hull merge over REAL per-payload hull vertices (group hull of
+    // many payloads is not SQL-expressible → rows-only; the per-payload hull
+    // itself is oracle-checked by q44)
     "q11_hull_merge" -> ((s, dir) => {
       val areaUdf = udf((ring: Seq[Double]) => {
         val pts = ring.grouped(2).map(p => (p(0), p(1))).toArray
@@ -144,9 +171,7 @@ object SparkEntry {
       })
       extracted(s, dir).filter(col("min_lon").isNotNull)
         .groupBy((col("d") % 97).as("g"))
-        .agg(Aggregators.hullMerge(array(
-          col("min_lon"), col("min_lat"), col("max_lon"), col("min_lat"),
-          col("max_lon"), col("max_lat"), col("min_lon"), col("max_lat"))).as("hull"))
+        .agg(Aggregators.hullMerge(col("hull")).as("hull"))
         .select(col("g"), (size(col("hull")) / 2).cast("long").as("n_vertices"),
           areaUdf(col("hull")).as("area"))
     }),
@@ -192,9 +217,10 @@ object SparkEntry {
         .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
     }),
 
-    // dedup: exact (hash-groupBy)
+    // dedup: exact (hash-groupBy) over the corpus with planted duplicates —
+    // the oracle checks real group structure (cnt=2 groups), not an empty set
     "q17_dedup_exact" -> ((s, dir) =>
-      TextOps.exactDupGroups(docs(s, dir))),
+      TextOps.exactDupGroups(docsDup(s, dir))),
 
     // doc fingerprinting
     "q18_fingerprint" -> ((s, dir) =>
@@ -222,18 +248,30 @@ object SparkEntry {
         .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
     }),
 
-    // dedup: MinHash-LSH candidate pairs (rows-only)
+    // dedup: MinHash-LSH candidate pairs over the planted-dup corpus
+    // (rows-only: MinHash isn't SQL-expressible; planted-pair recall is
+    // locked by DedupSpec)
     "q23_minhash_pairs" -> ((s, dir) =>
-      TextOps.minhashCandidatePairs(docs(s, dir))),
+      TextOps.minhashCandidatePairs(docsDup(s, dir))),
 
-    // dedup: SimHash near-dup pairs (rows-only)
+    // dedup: SimHash near-dup pairs (rows-only; planted-pair recall in DedupSpec)
     "q24_simhash_pairs" -> ((s, dir) =>
-      TextOps.simhashCandidatePairs(docs(s, dir))),
+      TextOps.simhashCandidatePairs(docsDup(s, dir))),
 
-    // dedup: exact n-gram Jaccard verify over MinHash candidates (rows-only)
+    // dedup: exact n-gram Jaccard over a closed-form candidate-pair set
+    // (planted exact-dup pairs → 1.0, near-dup pairs → high, shifted control
+    // pairs → low); fully recomputed by the DuckDB oracle via string 3-shingles
     "q25_jaccard_verify" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextOps.exactJaccard(TextOps.minhashCandidatePairs(d).select("doc_a", "doc_b"), d)
+      val d2 = docsDup(s, dir)
+      val base = docs(s, dir).select("doc_id")
+      val exactPairs = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+      val nearPairs = base.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"))
+      val controlPairs = base.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+        .join(base.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      TextOps.exactJaccard(exactPairs.unionByName(nearPairs).unionByName(controlPairs), d2)
     }),
 
     // shingle statistics (distinct word-3-grams per doc)
@@ -348,6 +386,19 @@ object SparkEntry {
     "q43_embed_neardup" -> ((s, dir) =>
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
+
+    // P3 per-payload convex hull from the payload's actual geometry vertices
+    // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
+    "q44_hull_extract" -> ((s, dir) => {
+      val areaUdf = udf((ring: Seq[Double]) => {
+        val pts = ring.grouped(2).map(p => (p(0), p(1))).toArray
+        graft.geo.Geo.ringArea(pts)
+      })
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          (size(col("hull")) / 2).cast("long").as("n_vertices"),
+          areaUdf(col("hull")).as("area"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -486,9 +537,30 @@ FROM documents) WHERE cum_size <= 50000""",
 SELECT lang, doc_id, n_chars, CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
 FROM documents) WHERE rank <= 3""",
 
-    "q17_dedup_exact" ->
+    "q17_dedup_exact" -> (DUP +
       """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS cnt, min(doc_id) AS canonical_doc
-FROM documents GROUP BY 1 HAVING count(*) > 1""",
+FROM docs2 GROUP BY 1 HAVING count(*) > 1"""),
+
+    "q25_jaccard_verify" -> (DUP +
+      """, toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM docs2),
+tn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+  FROM tn, LATERAL unnest(generate_series(1, n-2)) AS g(i) WHERE n >= 3),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 5 AND (doc_id + 1) IN (SELECT doc_id FROM documents)
+),
+inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b AND a.s = b.s
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+  CAST(coalesce(i.i, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b"""),
 
     "q18_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 15) AS fp_hex FROM documents",
@@ -641,5 +713,11 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q44_hull_extract" -> (EXT +
+      """SELECT d AS doc_id,
+  CAST(CASE WHEN k <= 6 THEN 4 ELSE 1 END AS BIGINT) AS n_vertices,
+  (max_lon - min_lon) * (max_lat - min_lat) AS area
+FROM ext WHERE min_lon IS NOT NULL"""),
   )
 }

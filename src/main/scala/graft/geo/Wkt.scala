@@ -190,21 +190,58 @@ object Wkt {
       bytes(i) = ((Character.digit(h.charAt(2 * i), 16) << 4) | Character.digit(h.charAt(2 * i + 1), 16)).toByte
       i += 1
     }
+    wkbEnvelope(bytes)
+  }
+
+  /** Hex-WKB → flat [lon,lat,…] vertex array (for per-payload convex hulls). */
+  def wkbHexCoords(hex: String): Option[Array[Double]] = {
+    if (hex == null) return None
+    val h = hex.trim
+    if (h.isEmpty || h.length % 2 != 0 || !h.forall(c => Character.digit(c, 16) >= 0)) return None
+    val bytes = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = ((Character.digit(h.charAt(2 * i), 16) << 4) | Character.digit(h.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    wkbCoords(bytes)
+  }
+
+  /** Raw-WKB bytes → flat vertex array. */
+  def wkbCoords(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 5) return None
     val out = ArrayBuffer.empty[Double]
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       readWkbGeom(bb, out)
-      Geo.envelope(out.toArray)
+      if (out.isEmpty) None else Some(out.toArray)
     } catch { case _: Exception => None }
   }
 
+  /** Raw-WKB bytes → coordinate envelope (the reference's CSV geometry-column
+    * scan also accepts raw binary WKB values, reference:
+    * geoextent/lib/handle_csv.py:602-642 — WKT → hex-WKB → raw-WKB ladder).
+    */
+  def wkbEnvelope(bytes: Array[Byte]): Option[Extent] = wkbCoords(bytes).flatMap(Geo.envelope)
+
   private def readWkbGeom(bb: java.nio.ByteBuffer, out: ArrayBuffer[Double]): Unit = {
     val order = bb.get()
+    if (order != 0 && order != 1) throw new IllegalArgumentException(s"wkb byte order $order")
     bb.order(if (order == 1) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
     val rawType = bb.getInt()
-    val hasZ = (rawType & 0x80000000) != 0 || (rawType % 1000) != rawType && (rawType / 1000) % 10 == 1
-    val geomType = (rawType & 0x0fffffff) % 1000
-    val dims = if (hasZ) 3 else 2
+    // dimensionality can be flagged two ways (both appear in the wild):
+    //   EWKB: Z = 0x80000000, M = 0x40000000, SRID present = 0x20000000
+    //   ISO:  type = base + 1000·k with k ∈ {1 (Z), 2 (M), 3 (ZM)}
+    val ewkbZ = (rawType & 0x80000000) != 0
+    val ewkbM = (rawType & 0x40000000) != 0
+    val hasSrid = (rawType & 0x20000000) != 0
+    val isoK = (rawType & 0x1fffffff) / 1000
+    if (isoK > 3) throw new IllegalArgumentException(s"wkb iso dim code $isoK")
+    val isoZ = isoK == 1 || isoK == 3
+    val isoM = isoK == 2 || isoK == 3
+    val geomType = (rawType & 0x1fffffff) % 1000
+    val dims = 2 + (if (ewkbZ || isoZ) 1 else 0) + (if (ewkbM || isoM) 1 else 0)
+    if (hasSrid) bb.getInt() // skip the EWKB SRID
     def readPoint(): Unit = {
       out += bb.getDouble(); out += bb.getDouble()
       var k = 2

@@ -19,10 +19,18 @@ object SkewPlanner {
 
   /** Hot keys and their salt factors: every key whose row count exceeds
     * `rowsPerTask` gets ceil(count / rowsPerTask) salts (capped).
+    *
+    * The histogram runs on a SAMPLE of the big side (hot keys are by
+    * definition frequent, so a 1 % sample still sees them) — a full
+    * groupBy(key).count over 10^12 rows would be an extra full shuffle pass
+    * just to plan the real one. Sampled counts are scaled back up by 1/fraction
+    * before the threshold test; the deterministic seed keeps plans reproducible.
     */
   def hotKeySalts(big: DataFrame, keyCol: String, rowsPerTask: Long,
-                  maxSalts: Int = 64, topK: Int = 1000): Map[Long, Int] = {
-    big.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+                  maxSalts: Int = 64, topK: Int = 1000,
+                  sampleFraction: Double = 0.01): Map[Long, Int] = {
+    big.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col(keyCol)).agg((count(lit(1)) / sampleFraction).cast("long").as("n"))
       .filter(col("n") > rowsPerTask)
       .orderBy(col("n").desc).limit(topK)
       .collect()

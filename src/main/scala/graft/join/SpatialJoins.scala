@@ -91,17 +91,28 @@ object SpatialJoins {
         .select("qid", "rank", "pid", "dist2")
       val perQ = topk.groupBy("qid").agg(count(lit(1)).as("cnt"), max("dist2").as("kth")).collect()
         .map(row => (row.getLong(0), (row.getLong(1), row.getDouble(2)))).toMap
+      // at the world-disk radius the candidate set IS the whole corpus, so a
+      // query with fewer than k candidates is final with its partial top-k
+      // (fewer than k corpus points exist at all)
+      val worldDisk = r >= maxR
       val satisfied = remaining.filter { case (qid, _, _) =>
-        perQ.get(qid).exists { case (cnt, kth) => cnt >= k && kth <= bounds(qid) }
+        (worldDisk && perQ.contains(qid)) ||
+          perQ.get(qid).exists { case (cnt, kth) => cnt >= k && kth <= bounds(qid) }
       }.map(_._1).toSet
       val done = topk.filter(col("qid").isin(satisfied.toSeq: _*))
       acc = if (acc == null) done else acc.unionByName(done)
       remaining = remaining.filterNot(q => satisfied.contains(q._1))
       r *= 2
     }
-    // any stragglers at world-disk radius are exact by construction
-    val out = if (acc == null) acc else acc.cache()
-    if (out != null) out.count() // materialize before releasing the corpus cache
+    // any stragglers at world-disk radius are exact by construction; an empty
+    // corpus yields an empty result frame (never null)
+    val out =
+      if (acc != null) acc.cache()
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "pid", "dist2")
+      }
+    out.count() // materialize before releasing the corpus cache
     pts.unpersist()
     out
   }

@@ -20,7 +20,8 @@ final case class ExtractedPage(
     tbox_start: Option[String], tbox_end: Option[String],
     src_tag: Option[String],
     crs: String,
-    cell: Option[Long]) {
+    cell: Option[Long],
+    hull: Option[Array[Double]]) {
   def lonC: Option[Double] = for (a <- min_lon; b <- max_lon) yield (a + b) / 2
   def latC: Option[Double] = for (a <- min_lat; b <- max_lat) yield (a + b) / 2
 }
@@ -47,7 +48,7 @@ object Extractor {
           yield QuadKey.encode((la0 + la1) / 2, (lo0 + lo1) / 2, joinZoom)
         ExtractedPage(p.d, p.warc_ts, r.handler,
           r.minLon, r.minLat, r.maxLon, r.maxLat,
-          r.tboxStart, r.tboxEnd, r.srcTag, r.crs, cell)
+          r.tboxStart, r.tboxEnd, r.srcTag, r.crs, cell, r.hull)
       }
     }
   }

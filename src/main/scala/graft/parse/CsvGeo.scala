@@ -93,42 +93,75 @@ object CsvGeo {
         (findColumn(header, latPatterns).isDefined && findColumn(header, lonPatterns).isDefined)
     }
 
-  final case class CsvResult(extent: Option[Extent], tbox: Option[(String, String)], crs: String)
+  final case class CsvResult(extent: Option[Extent], tbox: Option[(String, String)], crs: String,
+                             verts: Array[Double])
 
   def extract(payload: String): Option[CsvResult] =
     parseCsv(payload).map { case (header, rows) =>
-      val extent = extractExtent(header, rows)
+      val (extent, verts) = extractExtent(header, rows)
       val tbox = extractTbox(header, rows)
       val crs = findColumn(header, crsPatterns).flatMap { ci =>
         rows.headOption.map(_.lift(ci).getOrElse("4326").trim)
       }.filter(_.nonEmpty).getOrElse("4326")
-      CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs)
+      CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs, verts)
     }
 
-  private def extractExtent(header: Array[String], rows: Array[Array[String]]): Option[Extent] = {
-    // stage 1/2: geometry column (WKT, then hex-WKB), running envelope
+  private val wktPrefixes = Array("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+    "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
+
+  /** One geometry value → vertex array via the reference's parse ladder
+    * (reference: geoextent/lib/handle_csv.py:602-642): WKT-prefixed values as
+    * WKT; else hex-WKB; else the value's bytes as raw WKB; last resort WKT.
+    */
+  def geometryValueCoords(v: String): Option[Array[Double]] = {
+    val t = v.trim
+    if (t.isEmpty) return None
+    val up = t.toUpperCase
+    if (wktPrefixes.exists(up.startsWith)) Wkt.coords(t)
+    else Wkt.wkbHexCoords(t)
+      .orElse(Wkt.wkbCoords(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .orElse(Wkt.coords(t))
+  }
+
+  /** Extent + the vertex set it came from (vertices feed per-payload hulls,
+    * reference CSV hull mode: geoextent/lib/handle_csv.py:645-857).
+    */
+  private def extractExtent(header: Array[String], rows: Array[Array[String]]): (Option[Extent], Array[Double]) = {
+    // stage 1/2: geometry column (WKT → hex-WKB → raw-WKB), running envelope
     findColumn(header, geomPatterns) match {
       case Some(gi) =>
-        var env: Option[Extent] = None
-        for (r <- rows; v <- r.lift(gi); if v.trim.nonEmpty) {
-          val e = Wkt.envelope(v).orElse(Wkt.wkbHexEnvelope(v))
-          e.foreach(x => env = Some(env.fold(x)(_.merge(x))))
-        }
-        if (env.isDefined) return env
+        val verts = ArrayBuffer.empty[Double]
+        for (r <- rows; v <- r.lift(gi); c <- geometryValueCoords(v)) verts ++= c
+        if (verts.nonEmpty) return (Geo.envelope(verts.toArray), verts.toArray)
       case None =>
     }
     // stage 3: lat/lon columns (ALL matches pooled), numeric coercion min/max
     val latIdx = findColumns(header, latPatterns)
     val lonIdx = findColumns(header, lonPatterns)
-    if (latIdx.isEmpty || lonIdx.isEmpty) return None
+    if (latIdx.isEmpty || lonIdx.isEmpty) return (None, Array.empty)
     def pool(idxs: Seq[Int]): Array[Double] =
       (for (r <- rows; i <- idxs; v <- r.lift(i);
             d <- try Some(v.trim.toDouble) catch { case _: NumberFormatException => None })
         yield d).toArray
     val lons = pool(lonIdx)
     val lats = pool(latIdx)
-    if (lons.isEmpty || lats.isEmpty) None
-    else Some(Extent(lons.min, lats.min, lons.max, lats.max))
+    if (lons.isEmpty || lats.isEmpty) (None, Array.empty)
+    else {
+      // row-wise (lon,lat) points from the first matching column pair — the
+      // vertex set of the reference's CSV hull path (the pooled min/max above
+      // remains the envelope contract when several columns match)
+      val li = latIdx.head; val lo = lonIdx.head
+      val verts = ArrayBuffer.empty[Double]
+      for (r <- rows) {
+        val p = for {
+          vLon <- r.lift(lo); vLat <- r.lift(li)
+          dLon <- try Some(vLon.trim.toDouble) catch { case _: NumberFormatException => None }
+          dLat <- try Some(vLat.trim.toDouble) catch { case _: NumberFormatException => None }
+        } yield (dLon, dLat)
+        p.foreach { case (x, y) => verts += x; verts += y }
+      }
+      (Some(Extent(lons.min, lats.min, lons.max, lats.max)), verts.toArray)
+    }
   }
 
   private def extractTbox(header: Array[String], rows: Array[Array[String]]): Option[(String, String)] = {

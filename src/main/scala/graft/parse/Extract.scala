@@ -16,25 +16,50 @@ import graft.geo.{Extent, Geo}
   */
 object Extract {
 
-  /** Flat, Spark-encodable extraction record (nullable fields → None). */
+  /** Flat, Spark-encodable extraction record (nullable fields → None).
+    * `hull` is the per-payload convex hull of the payload's actual geometry
+    * vertices (flat interleaved [lon,lat,…], open CCW ring / single point),
+    * mirroring the reference's convex_hull=True mode
+    * (reference: geoextent/lib/handle_vector.py:257-456, handle_csv.py:645-857);
+    * payloads that only carry an extent (HTML metadata) promote it to its
+    * corner set, matching the merge-side degenerate promotion rules
+    * (reference: geoextent/lib/helpfunctions.py:778-871).
+    */
   final case class ExtractOut(
       handler: String,
       minLon: Option[Double], minLat: Option[Double],
       maxLon: Option[Double], maxLat: Option[Double],
       tboxStart: Option[String], tboxEnd: Option[String],
       srcTag: Option[String],
-      crs: String)
+      crs: String,
+      hull: Option[Array[Double]])
 
-  private val none = ExtractOut("none", None, None, None, None, None, None, None, "4326")
+  private val none = ExtractOut("none", None, None, None, None, None, None, None, "4326", None)
 
   private def gate(e: Option[Extent]): Option[Extent] =
     e.filter(Geo.plausibleWgs84).filterNot(_.isNullIsland)
 
+  private def hullOf(verts: Array[Double], e: Extent): Array[Double] = {
+    val src =
+      if (verts != null && verts.length >= 2) verts
+      else if (e.isPoint(0.0)) Array(e.minLon, e.minLat)
+      else Array(e.minLon, e.minLat, e.maxLon, e.minLat, e.maxLon, e.maxLat, e.minLon, e.maxLat)
+    val pts = new Array[(Double, Double)](src.length / 2)
+    var i = 0
+    while (i < pts.length) { pts(i) = (src(2 * i), src(2 * i + 1)); i += 1 }
+    val h = Geo.convexHull(pts)
+    val out = new Array[Double](h.length * 2)
+    i = 0
+    while (i < h.length) { out(2 * i) = h(i)._1; out(2 * i + 1) = h(i)._2; i += 1 }
+    out
+  }
+
   private def out(handler: String, e: Option[Extent], t: Option[(String, String)],
-                  src: Option[String] = None, crs: String = "4326"): ExtractOut = {
+                  src: Option[String] = None, crs: String = "4326",
+                  verts: Array[Double] = null): ExtractOut = {
     val g = gate(e)
     ExtractOut(handler, g.map(_.minLon), g.map(_.minLat), g.map(_.maxLon), g.map(_.maxLat),
-      t.map(_._1), t.map(_._2), src, crs)
+      t.map(_._1), t.map(_._2), src, crs, g.map(hullOf(verts, _)))
   }
 
   def extract(htmlBytes: Array[Byte], text: String, lang: String): ExtractOut = {
@@ -51,23 +76,29 @@ object Extract {
     val head = firstNonWs(payload)
     if (head != '<' && head != '{' && CsvGeo.isSupported(payload)) {
       CsvGeo.extract(payload) match {
-        case Some(r) => return out("csv", r.extent, r.tbox, None, r.crs)
+        case Some(r) => return out("csv", r.extent, r.tbox, None, r.crs, r.verts)
         case None =>
       }
     }
     // 2. vector payloads
     if (GeoJson.looksLikeGeoJson(payload)) {
-      val e = GeoJson.envelope(payload)
+      val cs = GeoJson.coords(payload)
       val dates = DateGuess.parseColumn(GeoJson.timeValues(payload))
       val t = if (dates.isEmpty) None else Some((dates.min.toString, dates.max.toString))
-      return out("vector", e, t)
+      return out("vector", Geo.envelope(cs), t, verts = cs)
     }
-    if (XmlGeo.looksLikeKml(payload))
-      return out("vector", XmlGeo.kmlEnvelope(payload), timesOf(XmlGeo.timeValues(payload)))
-    if (XmlGeo.looksLikeGpx(payload))
-      return out("vector", XmlGeo.gpxEnvelope(payload), timesOf(XmlGeo.timeValues(payload)))
-    if (XmlGeo.looksLikeGml(payload))
-      return out("vector", XmlGeo.gmlEnvelope(payload), timesOf(XmlGeo.timeValues(payload)))
+    if (XmlGeo.looksLikeKml(payload)) {
+      val cs = XmlGeo.kmlCoordArray(payload)
+      return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)
+    }
+    if (XmlGeo.looksLikeGpx(payload)) {
+      val cs = XmlGeo.gpxCoordArray(payload)
+      return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)
+    }
+    if (XmlGeo.looksLikeGml(payload)) {
+      val cs = XmlGeo.gmlCoordArray(payload)
+      return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)
+    }
     // 3. HTML landing-page metadata
     if (HtmlMeta.looksLikeHtml(payload)) {
       val r = HtmlMeta.extract(payload)
@@ -80,7 +111,11 @@ object Extract {
     if (lang == null || lang.isEmpty || lang.startsWith("en")) {
       val body = if (text != null && text.nonEmpty) text else payload
       val r = TextGeo.extract(body)
-      return out("text", r.extent, r.tbox)
+      // vertex set = the gazetteer hit points (polygon boundaries would
+      // contribute their envelope corners, reference: handle_text.py:165-186)
+      val pts = r.places.flatMap(sp => TextGeo.gazetteer.get(sp.value))
+        .flatMap { case (lat, lon) => Seq(lon, lat) }.toArray
+      return out("text", r.extent, r.tbox, verts = pts)
     }
     none
   }

@@ -55,12 +55,18 @@ object GeoJson {
     }
   }
 
-  def envelope(s: String): Option[Extent] =
-    parseJson(s).flatMap { n =>
+  /** Every coordinate leaf of the payload as a flat [lon,lat,…] array (the
+    * vertex set the reference's convex-hull mode collects,
+    * reference: geoextent/lib/handle_vector.py:257-456).
+    */
+  def coords(s: String): Array[Double] =
+    parseJson(s).map { n =>
       val buf = ArrayBuffer.empty[Double]
       collectCoords(n, buf)
-      Geo.envelope(buf.toArray)
-    }
+      buf.toArray
+    }.getOrElse(Array.empty)
+
+  def envelope(s: String): Option[Extent] = Geo.envelope(coords(s))
 
   /** Temporal properties: the reference's GeoJSON fixtures carry per-feature
     * `properties.date`-style fields; collect values of property keys matching the

@@ -34,7 +34,7 @@ object XmlGeo {
     t.contains("<gml:") || t.contains("FeatureCollection xmlns:gml")
   }
 
-  def kmlEnvelope(s: String): Option[Extent] = {
+  def kmlCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
     for (m <- kmlCoords.findAllMatchIn(s)) {
       // tuples separated by whitespace; within a tuple lon,lat[,alt]
@@ -46,10 +46,10 @@ object XmlGeo {
         }
       }
     }
-    Geo.envelope(buf.toArray)
+    buf.toArray
   }
 
-  def gpxEnvelope(s: String): Option[Extent] = {
+  def gpxCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
     for (m <- gpxPt.findAllMatchIn(s)) {
       val tag = m.matched
@@ -60,10 +60,10 @@ object XmlGeo {
         case _ =>
       }
     }
-    Geo.envelope(buf.toArray)
+    buf.toArray
   }
 
-  def gmlEnvelope(s: String): Option[Extent] = {
+  def gmlCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
     for (m <- gmlPos.findAllMatchIn(s)) {
       val nums = m.group(1).trim.split("[\\s,]+").flatMap { t =>
@@ -72,8 +72,12 @@ object XmlGeo {
       var i = 0
       while (i + 1 < nums.length) { buf += nums(i); buf += nums(i + 1); i += 2 }
     }
-    Geo.envelope(buf.toArray)
+    buf.toArray
   }
+
+  def kmlEnvelope(s: String): Option[Extent] = Geo.envelope(kmlCoordArray(s))
+  def gpxEnvelope(s: String): Option[Extent] = Geo.envelope(gpxCoordArray(s))
+  def gmlEnvelope(s: String): Option[Extent] = Geo.envelope(gmlCoordArray(s))
 
   /** KML TimeStamp `<when>` / GPX `<time>` values (date or dateTime; the date
     * part is what the reference's tbox keeps, format "%Y-%m-%d",

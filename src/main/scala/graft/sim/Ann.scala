@@ -68,23 +68,34 @@ object Ann {
   val signBitsUdf = udf((v: Seq[Float], planes: Int) => signBits(v, planes))
 
   /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
-    * sign-buckets, exact cosine re-check against the threshold. Never forms
-    * the corpus cross product — pair volume scales with bucket occupancy.
+    * sign-buckets (occupancy-capped — a bucket above `bucketCap` is a
+    * degenerate clone cluster whose pair count grows quadratically), exact
+    * cosine re-check against the threshold. Embeddings are joined back AFTER
+    * pair dedup, so the bucket shuffle carries only ids — never the vectors,
+    * and never the corpus cross product.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-                         tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+                         tables: Int = 4, bitsPerTable: Int = 8,
+                         bucketCap: Int = 1000): DataFrame = {
     val numPlanes = tables * bitsPerTable
-    val withBits = vectors.select(col("vec_id"), col("embedding"),
+    val withBits = vectors.select(col("vec_id"),
       signBitsUdf(col("embedding"), lit(numPlanes)).as("_bits"))
-    val buckets = withBits.select(col("vec_id"), col("embedding"),
+    val buckets = withBits.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         shiftrightunsigned(col("_bits"), t * bitsPerTable)
           .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
-    val l = buckets.select(col("_table"), col("_bucket"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val r = buckets.select(col("_table"), col("_bucket"), col("vec_id").as("vec_b"), col("embedding").as("e_b"))
-    l.join(r, Seq("_table", "_bucket"))
+    val sizes = buckets.groupBy("_table", "_bucket").agg(count(lit(1)).as("_bucket_n"))
+    val kept = buckets.join(sizes.filter(col("_bucket_n") <= bucketCap), Seq("_table", "_bucket"))
+      .drop("_bucket_n")
+    val l = kept.select(col("_table"), col("_bucket"), col("vec_id").as("vec_a"))
+    val r = kept.select(col("_table"), col("_bucket"), col("vec_id").as("vec_b"))
+    val pairs = l.join(r, Seq("_table", "_bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(vectors.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), Seq("vec_a"))
+      .join(vectors.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), Seq("vec_b"))
       .withColumn("cos", cosineUdf(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")

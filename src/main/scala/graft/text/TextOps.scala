@@ -76,24 +76,58 @@ object TextOps {
   val minhashUdf = udf((text: String, numHashes: Int) => minhash(shingleHashes(text), numHashes))
   val shinglesUdf = udf((text: String) => shingleHashes(text))
 
-  /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
-    * band-hash bucket join (self-join within buckets only), pair dedup.
-    * Output (doc_a < doc_b, est_jaccard from full signatures).
+  /** Collapse exact-duplicate texts to one representative per content hash
+    * (canonical = min doc_id). Identical texts produce identical LSH keys, so
+    * a mass-duplicated boilerplate page would otherwise put its whole clone
+    * set into ONE bucket and the bucket self-join would go O(n²) in a single
+    * task — the canonical 100 TB dedup scale-killer. Exact-duplicate pairs
+    * belong to `exactDupGroups`; the LSH operators own only near-duplicates.
     */
-  def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def collapseExactDups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("_h"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"))
+      .drop("_h")
+
+  /** Drop rows living in buckets with more than `cap` members. A bucket above
+    * the cap is a degenerate near-clone cluster: its pair count grows
+    * quadratically while its information content doesn't (its members are
+    * already connected through smaller buckets or the exact-dup pass). The
+    * occupancy count is a partial-aggregating groupBy on the same key as the
+    * pair join — no new shuffle key.
+    */
+  private def capBuckets(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val sizes = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_bucket_n"))
+    keyed.join(sizes.filter(col("_bucket_n") <= cap), keyCols).drop("_bucket_n")
+  }
+
+  /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
+    * band-hash bucket join (self-join within buckets only, occupancy-capped),
+    * pair dedup. Output (doc_a < doc_b, est_jaccard from full signatures).
+    * Signatures are joined back AFTER pair dedup, so the band-bucket shuffle
+    * carries only (band, bandhash, doc_id) — half the width of shipping both
+    * 64-hash signatures through every bucket.
+    */
+  def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                            bucketCap: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs.select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val sigs = collapseExactDups(docs)
+      .select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig"))
+    val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
-    val l = banded.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bandhash"))
+    val kept = capBuckets(banded, Seq("band", "bandhash"), bucketCap)
+    val l = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"))
+    val r = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "bandhash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard for a candidate-pair DataFrame (doc_a, doc_b). */
@@ -129,15 +163,19 @@ object TextOps {
   val simhashUdf = udf((text: String) => simhash(text))
 
   /** SimHash near-dup candidates: equal 16-bit chunks (Hamming ≤ 3 ⇒ at least
-    * one of 4 chunks equal) → bucket join, then exact Hamming filter.
+    * one of 4 chunks equal) → occupancy-capped bucket join, then exact Hamming
+    * filter. Exact duplicates are pre-collapsed (identical text ⇒ identical
+    * simhash ⇒ one degenerate bucket otherwise).
     */
-  def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+  def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3,
+                            bucketCap: Int = 1000): DataFrame = {
+    val sh = collapseExactDups(docs).select(col("doc_id"), simhashUdf(col("text")).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(c => shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "chunkval")))
-    val l = chunked.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val kept = capBuckets(chunked, Seq("chunk", "chunkval"), bucketCap)
+    val l = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "chunkval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

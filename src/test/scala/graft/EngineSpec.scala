@@ -38,8 +38,11 @@ class EngineSpec extends AnyFunSuite {
   test("extraction is deterministic across partitioning (parallel == sequential, reference test_parallel_extraction.py)") {
     assume(hasData)
     val pages = table.Pages.pages(spark, sf)
-    val a = operators.Extractor.extract(pages.repartition(1)).collect().sortBy(_.d)
-    val b = operators.Extractor.extract(pages.repartition(8)).collect().sortBy(_.d)
+    // hull is Array[Double] (reference equality under case-class ==) → compare
+    // a value-normalized view
+    def norm(p: operators.ExtractedPage) = (p.copy(hull = None), p.hull.map(_.toList))
+    val a = operators.Extractor.extract(pages.repartition(1)).collect().sortBy(_.d).map(norm)
+    val b = operators.Extractor.extract(pages.repartition(8)).collect().sortBy(_.d).map(norm)
     assert(a.toList === b.toList)
   }
 

@@ -89,4 +89,51 @@ class GoldenFixtureSpec extends AnyFunSuite {
     // NL envelope: all cities within [3.3,50.7]x[7.3,53.6]
     assert(e.minLon > 3.0 && e.maxLon < 7.5 && e.minLat > 50.5 && e.maxLat < 53.7, e)
   }
+
+  // ---- per-payload convex hull (reference convex_hull=True mode) ----
+
+  /** CCW-convexity membership: p is inside-or-on a CCW ring iff it is
+    * left-of-or-on every edge (robust where ray casting is edge-ambiguous).
+    */
+  private def insideOrOnHull(p: (Double, Double), ring: Array[(Double, Double)]): Boolean = {
+    val n = ring.length
+    (0 until n).forall { i =>
+      val a = ring(i); val b = ring((i + 1) % n)
+      (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) >= -1e-12
+    }
+  }
+
+  test("cities_NL CSV convex hull: >4 vertices, vertices ⊆ points, hull contains all points " +
+    "(reference tests/test_api_csv.py TestCSVConvexHull)") {
+    val p = Paths.get(base, "csv/cities_NL.csv")
+    assume(Files.exists(p))
+    val s = new String(Files.readAllBytes(p), "UTF-8")
+    val r = CsvGeo.extract(s).get
+    assert(r.verts.length >= 6)
+    val pts = r.verts.grouped(2).map(a => (a(0), a(1))).toArray
+    val hull = graft.geo.Geo.convexHull(pts)
+    // scattered NL cities: a real hull, not a 4-corner rectangle
+    assert(hull.length > 4, s"hull has ${hull.length} vertices")
+    assert(hull.forall(pts.contains), "hull vertices must be input points")
+    assert(pts.forall(insideOrOnHull(_, hull)), "all points inside hull")
+    // and the end-to-end Extract path carries the same hull
+    val ex = Extract.extract(s.getBytes("UTF-8"), "", "en")
+    assert(ex.hull.isDefined)
+    assert(ex.hull.get.grouped(2).map(a => (a(0), a(1))).toArray === hull)
+  }
+
+  test("muenster ring hull: end-to-end Extract hull matches ring geometry " +
+    "(reference handle_vector.py:257-456)") {
+    val s = fixture("geojson/muenster_ring_zeit.geojson")
+    val ex = Extract.extract(s.getBytes("UTF-8"), "", "en")
+    assert(ex.hull.isDefined)
+    val hull = ex.hull.get.grouped(2).map(a => (a(0), a(1))).toArray
+    val pts = GeoJson.coords(s).grouped(2).map(a => (a(0), a(1))).toArray
+    assert(hull.length >= 3)
+    assert(hull.forall(pts.contains), "hull vertices from the payload's actual vertices")
+    assert(pts.forall(insideOrOnHull(_, hull)))
+    // hull envelope == published bbox golden
+    val he = graft.geo.Geo.envelope(ex.hull.get)
+    assertBBox(he, 7.601680, 51.948814, 7.647256, 51.974624)
+  }
 }

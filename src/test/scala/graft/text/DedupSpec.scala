@@ -1,0 +1,104 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Dedup-layer behavior on corpora that actually contain duplicates: planted
+  * exact/near duplicates must be found, and degenerate clone clusters must not
+  * blow the bucket self-joins up to O(n²) (the 100 TB scale-killer flagged in
+  * round 1 — exact dups pre-collapsed, buckets occupancy-capped).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic word soup (seeded) of n tokens. */
+  private def words(seed: Long, n: Int): String = {
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    val rnd = new java.util.Random(seed)
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("exact dedup groups: planted copies found with correct canonical/count") {
+    val base = (0L until 40L).map(i => (i, words(i, 30)))
+    val dups = (0L until 40L by 10L).map(i => (i + 1000L, words(i, 30)))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val groups = TextOps.exactDupGroups(docs).collect()
+    assert(groups.length === 4)
+    assert(groups.forall(_.getAs[Long]("cnt") === 2L))
+    assert(groups.map(_.getAs[Long]("canonical_doc")).sorted.toSeq === Seq(0L, 10L, 20L, 30L))
+  }
+
+  test("minhash candidates: planted near-dups recalled; exact dups collapsed away") {
+    val base = (0L until 60L).map(i => (i, words(i * 7 + 1, 60)))
+    val near = (0L until 60L by 12L).map(i => (i + 2000L, words(i * 7 + 1, 60) + " extra trailer token appended here"))
+    val exact = (0L until 60L by 15L).map(i => (i + 1000L, words(i * 7 + 1, 60)))
+    val docs = (base ++ near ++ exact).toDF("doc_id", "text")
+    val pairs = TextOps.minhashCandidatePairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every planted near-dup pair is a candidate (high jaccard ⇒ some band collides)
+    val planted = (0L until 60L by 12L).map(i => (i, i + 2000L)).toSet
+    val found = planted.intersect(pairs)
+    assert(found.size >= (planted.size * 0.8).toInt, s"recall ${found.size}/${planted.size}")
+    // exact duplicates are pre-collapsed: no candidate pair joins a doc to its copy
+    val exactPairs = (0L until 60L by 15L).map(i => (i, i + 1000L)).toSet
+    assert(pairs.intersect(exactPairs).isEmpty)
+  }
+
+  test("simhash candidates: planted near-dups recalled") {
+    val base = (0L until 60L).map(i => (i, words(i * 13 + 5, 80)))
+    val near = (0L until 60L by 12L).map(i => (i + 2000L, words(i * 13 + 5, 80) + " zz"))
+    val docs = (base ++ near).toDF("doc_id", "text")
+    val pairs = TextOps.simhashCandidatePairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 60L by 12L).map(i => (i, i + 2000L)).toSet
+    assert(planted.intersect(pairs).size >= (planted.size * 0.8).toInt)
+  }
+
+  test("bucket cap: a planted hot cluster produces bounded pairs and the join completes") {
+    // 120 identical docs (one degenerate bucket pre-collapse would be 7140
+    // pairs) + 100 docs of a near-clone family (mutual jaccard ≈ 1, all in the
+    // same band buckets) + background docs
+    val identical = (0L until 120L).map(i => (i, "the same boilerplate page content repeated verbatim across the crawl " * 3))
+    val cloneFam = (1000L until 1100L).map(i => (i, words(42, 100) + s" tail$i"))
+    val background = (5000L until 5040L).map(i => (i, words(i, 50)))
+    val docs = (identical ++ cloneFam ++ background).toDF("doc_id", "text")
+    // capped run: the 100-member clone family exceeds cap=20 in every band
+    val capped = TextOps.minhashCandidatePairs(docs, bucketCap = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // identical docs collapse to one representative → zero identical-pair output
+    assert(!capped.exists { case (a, b) => a < 120 && b < 120 })
+    // clone-family pairs are capped out (their buckets all exceed 20)
+    val famPairs = capped.count { case (a, b) => a >= 1000 && a < 1100 && b >= 1000 && b < 1100 }
+    assert(famPairs === 0, s"hot-bucket pairs leaked: $famPairs")
+    // an uncapped run on the same input DOES produce the quadratic family —
+    // the cap is what bounds it
+    val uncapped = TextOps.minhashCandidatePairs(docs, bucketCap = 1000000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val famUncapped = uncapped.count { case (a, b) => a >= 1000 && a < 1100 && b >= 1000 && b < 1100 }
+    assert(famUncapped > 4000, s"expected quadratic family without cap, got $famUncapped")
+    // results on cold buckets are unchanged by the cap
+    val coldCapped = capped.filter { case (a, b) => a >= 5000 && b >= 5000 }.toSet
+    val coldUncapped = uncapped.filter { case (a, b) => a >= 5000 && b >= 5000 }.toSet
+    assert(coldCapped === coldUncapped)
+  }
+
+  test("embedding near-dup bucket cap bounds clone clusters") {
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new java.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val clones = (0L until 80L).map(i => (i, vec(7))) // identical embeddings
+    val rest = (1000L until 1040L).map(i => (i, vec(i.toInt)))
+    val emb = (clones ++ rest).toDF("vec_id", "embedding")
+    val capped = graft.sim.Ann.cosineNearDupPairs(emb, threshold = 0.9, bucketCap = 10)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(!capped.exists { case (a, b) => a < 80 && b < 80 }, "clone cluster must be capped")
+    val uncapped = graft.sim.Ann.cosineNearDupPairs(emb, threshold = 0.9, bucketCap = 1000000)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(uncapped.count { case (a, b) => a < 80 && b < 80 } > 3000)
+  }
+}
