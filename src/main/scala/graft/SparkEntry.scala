@@ -302,6 +302,23 @@ object SparkEntry {
         .withColumn("p_end", element_at(typedLit(graft.parse.TextGeo.periods.map { case (k, v) => k -> v._2 }), col("period_name")))
     }),
 
+    // P7/P13 provenance surface: standoff annotation spans (places, dates,
+    // periods) with char offsets (reference contract: handle_text.py:368-390,
+    // tests/test_api_text_offsets.py); offsets are closed-form for the
+    // synthetic texts so the oracle recomputes them by string arithmetic
+    "q29_annotations" -> ((s, dir) => {
+      val annUdf = udf((text: String) => {
+        val r = graft.parse.TextGeo.extract(text)
+        r.places.map(sp => ("place", sp.value, sp.charStart, sp.charEnd)) ++
+          r.dates.map(sp => ("date", sp.value, sp.charStart, sp.charEnd)) ++
+          r.periods.map(sp => ("period", sp.value, sp.charStart, sp.charEnd))
+      })
+      Pages.pages(s, dir).filter(col("d") % 10 === 8)
+        .select(col("d").as("doc_id"), explode(annUdf(col("text"))).as("a"))
+        .select(col("doc_id"), col("a._1").as("kind"), col("a._2").as("value"),
+          col("a._3").cast("long").as("char_start"), col("a._4").cast("long").as("char_end"))
+    }),
+
     // R7 extraction statistics
     "q30_stats" -> ((s, dir) =>
       extracted(s, dir).groupBy("handler")
@@ -387,6 +404,20 @@ object SparkEntry {
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
 
+    // F5 'random(seed)' strategy with shapefile-style group atomicity: groups
+    // of 10 docs selected/skipped together, group order = deterministic
+    // md5-of-key (the engine's portable seed-42 shuffle analog)
+    "q45_select_random" -> ((s, dir) =>
+      TextOps.groupedSizeSelect(docs(s, dir), "n_chars",
+        floor(col("doc_id") / 10).cast("long"), "random", 30000L)
+        .select(col("doc_id"), col("n_chars"), col("grp"), col("grp_cum"))),
+
+    // F5 'largest' strategy over the same atomic groups
+    "q46_select_largest" -> ((s, dir) =>
+      TextOps.groupedSizeSelect(docs(s, dir), "n_chars",
+        floor(col("doc_id") / 10).cast("long"), "largest", 30000L)
+        .select(col("doc_id"), col("n_chars"), col("grp"), col("grp_cum"))),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -421,7 +452,11 @@ p1 AS (SELECT d, (d % 10) AS k,
   CAST((d//10) % 4 AS INTEGER) AS peri
   FROM p0),
 p2 AS (SELECT *, lon0+bw AS lon1, lat0+bh AS lat1,
-  CASE WHEN k IN (0,1,2) THEN 'vector' WHEN k IN (3,4) THEN 'csv' WHEN k IN (5,6,7) THEN 'html' ELSE 'text' END AS handler
+  CASE WHEN k IN (0,1,2) THEN 'vector' WHEN k IN (3,4) THEN 'csv' WHEN k IN (5,6,7) THEN 'html' ELSE 'text' END AS handler,
+  CASE CAST(d % 4 AS INTEGER) WHEN 2 THEN CAST(date_trunc('year', dd) AS DATE)
+       WHEN 3 THEN CAST(date_trunc('year', dd) AS DATE) ELSE dd END AS ds8,
+  CASE CAST(d % 4 AS INTEGER) WHEN 2 THEN make_date(CAST(year(de) AS INTEGER), 12, 31)
+       WHEN 3 THEN make_date(CAST(year(dd) AS INTEGER), 3, 31) ELSE de END AS de8
   FROM p1),
 ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
   CASE WHEN k <= 6 THEN lon0 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lon0 WHEN k = 8 THEN plon END AS min_lon,
@@ -430,9 +465,10 @@ ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
   CASE WHEN k <= 6 THEN lat1 WHEN k = 7 AND NOT (lon0 = 0 AND lat0 = 0) THEN lat0 WHEN k = 8 THEN plat END AS max_lat,
   CASE WHEN k IN (0,1,2,3,5,6) THEN strftime(dd, '%Y-%m-%d')
        WHEN k = 8 AND hasper THEN (CASE peri WHEN 0 THEN '-9750-01-01' WHEN 1 THEN '-2578050-01-01' WHEN 2 THEN '-201298050-01-01' ELSE '-144998050-01-01' END)
-       WHEN k = 8 THEN strftime(dd, '%Y-%m-%d') END AS tbox_start,
+       WHEN k = 8 THEN strftime(ds8, '%Y-%m-%d') END AS tbox_start,
   CASE WHEN k IN (0,1,2,3) THEN strftime(dd, '%Y-%m-%d')
-       WHEN k IN (5,6,8) THEN strftime(de, '%Y-%m-%d') END AS tbox_end
+       WHEN k IN (5,6) THEN strftime(de, '%Y-%m-%d')
+       WHEN k = 8 THEN strftime(de8, '%Y-%m-%d') END AS tbox_end
   FROM p2)
 """
 
@@ -624,6 +660,41 @@ SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles FROM sh GROUP BY
 CAST(count(*) AS BIGINT) AS cnt, min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1,2""",
 
+    "q29_annotations" ->
+      """WITH p0 AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
+b AS (SELECT d,
+  CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 'Amsterdam' WHEN 1 THEN 'Berlin' WHEN 2 THEN 'Paris' WHEN 3 THEN 'Madrid' ELSE 'Rome' END AS place,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) AS dd,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) + CAST(d % 30 AS INTEGER) AS de,
+  (d % 3 = 0) AS hasper,
+  CASE CAST((d//10) % 4 AS INTEGER) WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END AS period,
+  CAST(d % 4 AS INTEGER) AS v
+  FROM p0 WHERE d % 10 = 8),
+b2 AS (SELECT *,
+  strftime(dd, '%Y-%m-%d') AS i1, strftime(de, '%Y-%m-%d') AS i2,
+  strftime(dd,'%B') || ' ' || CAST(day(dd) AS VARCHAR) || ', ' || CAST(year(dd) AS VARCHAR) AS m1,
+  strftime(de,'%B') || ' ' || CAST(day(de) AS VARCHAR) || ', ' || CAST(year(de) AS VARCHAR) AS m2,
+  CAST(year(dd) AS VARCHAR) AS y1, CAST(year(de) AS VARCHAR) AS y2,
+  CAST(12 + len(place) + 11 AS BIGINT) AS ppos FROM b),
+b3 AS (SELECT *,
+  CASE v WHEN 0 THEN 'from ' || i1 || ' to ' || i2
+         WHEN 1 THEN 'from ' || m1 || ' to ' || m2
+         WHEN 2 THEN 'over ' || y1 || '–' || y2
+         ELSE 'from January to March ' || y1 END AS phrase,
+  CASE v WHEN 0 THEN i1 WHEN 1 THEN m1 WHEN 2 THEN y1 || '–' || y2 ELSE 'January to March ' || y1 END AS date1,
+  CASE v WHEN 0 THEN i2 WHEN 1 THEN m2 END AS date2
+  FROM b2)
+SELECT d AS doc_id, 'place' AS kind, place AS value,
+  CAST(12 AS BIGINT) AS char_start, CAST(12 + len(place) AS BIGINT) AS char_end FROM b3
+UNION ALL
+SELECT d, 'date', date1, ppos + 5, ppos + 5 + len(date1) FROM b3
+UNION ALL
+SELECT d, 'date', date2, ppos + 5 + len(date1) + 4, ppos + 5 + len(date1) + 4 + len(date2)
+FROM b3 WHERE v IN (0, 1)
+UNION ALL
+SELECT d, 'period', period, ppos + len(phrase) + 1 + 22, ppos + len(phrase) + 1 + 22 + len(period)
+FROM b3 WHERE hasper""",
+
     "q28_periods" -> (EXT +
       """SELECT d AS doc_id,
 CASE peri WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END AS period_name,
@@ -639,7 +710,13 @@ FROM ext GROUP BY 1"""),
       """SELECT d AS doc_id, md5(CASE
   WHEN k = 8 THEN 'Survey near ' ||
     (CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 'Amsterdam' WHEN 1 THEN 'Berlin' WHEN 2 THEN 'Paris' WHEN 3 THEN 'Madrid' ELSE 'Rome' END) ||
-    ' conducted from ' || strftime(dd, '%Y-%m-%d') || ' to ' || strftime(de, '%Y-%m-%d') || '.' ||
+    ' conducted ' ||
+    (CASE CAST(d % 4 AS INTEGER)
+      WHEN 0 THEN 'from ' || strftime(dd, '%Y-%m-%d') || ' to ' || strftime(de, '%Y-%m-%d')
+      WHEN 1 THEN 'from ' || strftime(dd, '%B') || ' ' || CAST(day(dd) AS VARCHAR) || ', ' || CAST(year(dd) AS VARCHAR) ||
+        ' to ' || strftime(de, '%B') || ' ' || CAST(day(de) AS VARCHAR) || ', ' || CAST(year(de) AS VARCHAR)
+      WHEN 2 THEN 'over ' || CAST(year(dd) AS VARCHAR) || '–' || CAST(year(de) AS VARCHAR)
+      ELSE 'from January to March ' || CAST(year(dd) AS VARCHAR) END) || '.' ||
     (CASE WHEN hasper THEN ' Deposits date to the ' ||
       (CASE peri WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END) || '.'
      ELSE '' END)
@@ -713,6 +790,18 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q45_select_random" ->
+      """WITH g AS (SELECT doc_id // 10 AS grp, CAST(sum(n_chars) AS BIGINT) AS gsize FROM documents GROUP BY 1),
+c AS (SELECT grp, gsize, CAST(sum(gsize) OVER (ORDER BY md5(CAST(grp AS VARCHAR)), grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM g)
+SELECT d.doc_id, d.n_chars, c.grp, c.cum AS grp_cum
+FROM documents d JOIN c ON d.doc_id // 10 = c.grp WHERE c.cum <= 30000""",
+
+    "q46_select_largest" ->
+      """WITH g AS (SELECT doc_id // 10 AS grp, CAST(sum(n_chars) AS BIGINT) AS gsize FROM documents GROUP BY 1),
+c AS (SELECT grp, gsize, CAST(sum(gsize) OVER (ORDER BY gsize DESC, grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM g)
+SELECT d.doc_id, d.n_chars, c.grp, c.cum AS grp_cum
+FROM documents d JOIN c ON d.doc_id // 10 = c.grp WHERE c.cum <= 30000""",
 
     "q44_hull_extract" -> (EXT +
       """SELECT d AS doc_id,

@@ -80,8 +80,11 @@ object Extract {
         case None =>
       }
     }
-    // 2. vector payloads
-    if (GeoJson.looksLikeGeoJson(payload)) {
+    // 2. vector payloads (a GeoJSON document starts with its JSON value — an
+    // HTML page merely EMBEDDING GeoJSON in a meta attribute must fall through
+    // to the HTML handler, mirroring the reference where journal pages never
+    // reach the vector handler)
+    if ((head == '{' || head == '[') && GeoJson.looksLikeGeoJson(payload)) {
       val cs = GeoJson.coords(payload)
       val dates = DateGuess.parseColumn(GeoJson.timeValues(payload))
       val t = if (dates.isEmpty) None else Some((dates.min.toString, dates.max.toString))

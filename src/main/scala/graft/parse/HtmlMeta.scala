@@ -84,6 +84,11 @@ object HtmlMeta {
     // 6. DC.box
     for ((n, _, c) <- metas if n == "dc.box")
       dcBox(c).foreach(e => return Some((e, "dc.box")))
+    // 7. OJS administrativeUnits[].bbox fallback: the DC.SpatialCoverage
+    // GeoJSON wrapper yielded no geometry at rule 3 but may still carry an
+    // admin-unit bbox (reference: _base.py:616-631, _meta.py admin_unit_bbox)
+    for ((_, scheme, c) <- metas.filter(_._1 == "dc.spatialcoverage") if scheme.equalsIgnoreCase("GeoJSON"))
+      adminUnitBbox(c).foreach(e => return Some((e, "ojs.admin-unit")))
     // 8. ICBM / geo.position
     for ((n, _, c) <- metas if n == "icbm")
       icbm(c).foreach(e => return Some((e, "icbm")))
@@ -219,6 +224,35 @@ object HtmlMeta {
       n <- bag.get("northlimit"); s <- bag.get("southlimit")
       e <- bag.get("eastlimit"); w <- bag.get("westlimit")
     } yield Extent(w, s, e, n)
+  }
+
+  /** OJS `administrativeUnits[].bbox`: first unit with a usable bbox wins;
+    * bbox is either a 4-number list [w,s,e,n] or a "w,s,e,n" string; the
+    * "not available"-style sentinels are skipped
+    * (reference: _meta.py:365-396, sentinel set _meta.py:288).
+    */
+  def adminUnitBbox(value: String): Option[Extent] = {
+    val notAvailable = Set("not available", "n/a", "none", "null", "")
+    GeoJson.parseJson(value).flatMap { root =>
+      val units = if (root.isObject) root.get("administrativeUnits") else null
+      if (units == null || !units.isArray) return None
+      for (u <- units.elements().asScala if u.isObject) {
+        val b = u.get("bbox")
+        if (b != null && b.isArray && b.size() == 4) {
+          try {
+            val v = (0 until 4).map(i => b.get(i).asText().trim.toDouble)
+            return Some(Extent(v(0), v(1), v(2), v(3)))
+          } catch { case _: NumberFormatException => }
+        } else if (b != null && b.isTextual && !notAvailable.contains(b.asText().trim.toLowerCase)) {
+          val parts = b.asText().split(",").map(_.trim)
+          if (parts.length == 4) {
+            try return Some(Extent(parts(0).toDouble, parts(1).toDouble, parts(2).toDouble, parts(3).toDouble))
+            catch { case _: NumberFormatException => }
+          }
+        }
+      }
+      None
+    }
   }
 
   def icbm(value: String): Option[Extent] = {

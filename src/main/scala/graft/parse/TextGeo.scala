@@ -65,11 +65,34 @@ object TextGeo {
     "Cambrian" -> ("-538798050-01-01", "-485398050-01-01"),
   )
 
+  private val monthNames = Seq("January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December")
+  private val monthNum: Map[String, Int] =
+    monthNames.zipWithIndex.map { case (m, i) => m.toLowerCase -> (i + 1) }.toMap
+  private val MonthAlt = monthNames.mkString("|")
+
   private val isoDate = "\\b(\\d{4})-(\\d{2})-(\\d{2})\\b".r
   private val betweenRange = "(?i)between\\s+(\\d{4})\\s+and\\s+(\\d{4})".r
+  // "January to March 2024" — left month inherits the right side's year
+  // (reference dates.py:163-175 year-context inheritance)
+  private val monthRange =
+    s"(?i)\\b($MonthAlt)\\s+(?:to|and|until|through)\\s+($MonthAlt)\\s+(\\d{4})\\b".r
+  // "1820–1850" / "1820—1850" / "1820 - 1850" year ranges
+  // (reference range connectors dates.py:33-46)
+  private val yearRangeDash = "\\b(\\d{4})\\s*[-–—]\\s*(\\d{4})\\b".r
+  // "March 5, 2024" and "5 March 2024" month-name calendar dates
+  private val monthDayYear = s"(?i)\\b($MonthAlt)\\s+(\\d{1,2}),?\\s+(\\d{4})\\b".r
+  private val dayMonthYear = s"(?i)\\b(\\d{1,2})\\s+($MonthAlt)\\s+(\\d{4})\\b".r
+  // "March 2024" month precision → whole-month envelope (dates.py:117-127)
+  private val monthYear = s"(?i)\\b($MonthAlt)\\s+(\\d{4})\\b".r
   private val decade = "\\b(\\d{3})0s\\b".r
   private val century = "(?i)\\b(\\d{1,2})(?:st|nd|rd|th)\\s+century\\b".r
-  private val bareYear = "\\b(1[0-9]{3}|20[0-9]{2})\\b".r
+  private val bareYear = "\\b(\\d{3,4})\\b".r
+
+  private def lastDay(year: Int, month: Int): Int =
+    java.time.YearMonth.of(year, month).lengthOfMonth()
+  private def monthEnvelope(year: Int, month: Int): (String, String) =
+    (f"$year%04d-$month%02d-01", f"$year%04d-$month%02d-${lastDay(year, month)}%02d")
 
   def looksLikeText(s: String): Boolean = !s.trim.startsWith("<") && !s.trim.startsWith("{")
 
@@ -116,35 +139,55 @@ object TextGeo {
       }
     }
 
-    // dates: explicit ISO dates, then ranges/decades/centuries/years.
-    // Period matches win over overlapping date entities
-    // (reference: geoextent/lib/text_extraction/ner.py:110-141).
+    // dates: a priority-ordered mention scan — explicit/calendar shapes first,
+    // ranges (incl. month ranges with year-context inheritance and -/–/— year
+    // ranges) before month-precision, bare years last. Period matches win over
+    // overlapping date entities (reference: ner.py:110-141), and an earlier
+    // pattern's claim suppresses later overlapping matches (the spaCy-span
+    // analog: one mention, one entity). Envelope semantics per shape follow
+    // reference: geoextent/lib/text_extraction/dates.py:33-181.
     val dateSpans = ArrayBuffer.empty[Span]
-    def overlapsPeriod(a: Int, b: Int): Boolean =
-      periodSpans.exists(sp => a < sp.charEnd && b > sp.charStart)
-    for (m <- isoDate.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+    def overlapsClaimed(a: Int, b: Int): Boolean =
+      periodSpans.exists(sp => a < sp.charEnd && b > sp.charStart) ||
+        dateSpans.exists(sp => a < sp.charEnd && b > sp.charStart)
+    def claim(m: scala.util.matching.Regex.Match, env: (String, String)): Unit = {
       dateSpans += Span(m.matched, m.start, m.end)
-      fold(m.matched, m.matched)
+      fold(env._1, env._2)
     }
-    for (m <- betweenRange.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
-      dateSpans += Span(m.matched, m.start, m.end)
-      fold(s"${m.group(1)}-01-01", s"${m.group(2)}-12-31")
+    for (m <- isoDate.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+      claim(m, (m.matched, m.matched))
+    for (m <- betweenRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+      claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
+    for (m <- monthRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+      // "January to March 2024": the left month inherits the right year
+      val y = m.group(3).toInt
+      val m1 = monthNum(m.group(1).toLowerCase)
+      val m2 = monthNum(m.group(2).toLowerCase)
+      claim(m, (monthEnvelope(y, m1)._1, monthEnvelope(y, m2)._2))
     }
-    for (m <- decade.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
-      dateSpans += Span(m.matched, m.start, m.end)
-      fold(s"${m.group(1)}0-01-01", s"${m.group(1)}9-12-31")
+    for (m <- yearRangeDash.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+      claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
+    for (m <- monthDayYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+      val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(1).toLowerCase)}%02d-${m.group(2).toInt}%02d"
+      claim(m, (d0, d0))
     }
-    for (m <- century.findAllMatchIn(text) if !overlapsPeriod(m.start, m.end)) {
+    for (m <- dayMonthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+      val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(2).toLowerCase)}%02d-${m.group(1).toInt}%02d"
+      claim(m, (d0, d0))
+    }
+    for (m <- monthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+      claim(m, monthEnvelope(m.group(2).toInt, monthNum(m.group(1).toLowerCase)))
+    for (m <- decade.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+      claim(m, (s"${m.group(1)}0-01-01", s"${m.group(1)}9-12-31"))
+    for (m <- century.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
       val c = m.group(1).toInt
-      dateSpans += Span(m.matched, m.start, m.end)
-      fold(f"${(c - 1) * 100 + 1}%04d-01-01", f"${c * 100}%04d-12-31")
+      claim(m, (f"${(c - 1) * 100 + 1}%04d-01-01", f"${c * 100}%04d-12-31"))
     }
     if (dateSpans.isEmpty && periodSpans.isEmpty) {
       // bare years only when no richer entity matched (mirrors the reference's
       // entity precedence: a year inside a matched date/range is not re-counted)
       for (m <- bareYear.findAllMatchIn(text)) {
-        dateSpans += Span(m.matched, m.start, m.end)
-        fold(s"${m.matched}-01-01", s"${m.matched}-12-31")
+        claim(m, (f"${m.group(1).toInt}%04d-01-01", f"${m.group(1).toInt}%04d-12-31"))
       }
     }
 

@@ -98,8 +98,18 @@ G0,"$geom""""
           s""""box":"${n(y0)} ${n(x0)} ${n(y1)} ${n(x1)}"}},"temporalCoverage":"$dd/$de"}</script>""" +
           s"""<meta name="ICBM" content="${n(y0 + 5.0)}, ${n(x0 + 5.0)}"></head><body>dataset page</body></html>"""
       case 6 =>
-        s"""<html><head><meta name="DC.box" content="name=Study area; northlimit=${n(y1)}; """ +
-          s"""southlimit=${n(y0)}; westlimit=${n(x0)}; eastlimit=${n(x1)}; projection=EPSG:4326">""" +
+        // two sub-variants, same extent/tbox: DC.box DCSV (ladder step 6) and
+        // the OJS administrativeUnits[].bbox fallback (step 7 — the
+        // DC.SpatialCoverage GeoJSON wrapper has no features, so step 3 fails)
+        val spatialMeta =
+          if ((d / 10) % 2 == 0)
+            s"""<meta name="DC.box" content="name=Study area; northlimit=${n(y1)}; """ +
+              s"""southlimit=${n(y0)}; westlimit=${n(x0)}; eastlimit=${n(x1)}; projection=EPSG:4326">"""
+          else
+            s"""<meta name="DC.SpatialCoverage" scheme="GeoJSON" content="{&quot;type&quot;:&quot;FeatureCollection&quot;,""" +
+              s"""&quot;features&quot;:[],&quot;administrativeUnits&quot;:[{&quot;name&quot;:&quot;unit0&quot;,&quot;bbox&quot;:&quot;not available&quot;},""" +
+              s"""{&quot;name&quot;:&quot;unit1&quot;,&quot;bbox&quot;:[${n(x0)},${n(y0)},${n(x1)},${n(y1)}]}]}">"""
+        s"""<html><head>$spatialMeta""" +
           s"""<meta name="DC.temporal" content="start=$dd; end=$de; scheme=W3C-DTF"></head><body>article</body></html>"""
       case 7 =>
         val meta =
@@ -113,10 +123,26 @@ G0,"$geom""""
     }
   }
 
+  private val monthNameFmt =
+    java.time.format.DateTimeFormatter.ofPattern("MMMM d, uuuu", java.util.Locale.ENGLISH)
+
+  /** Date-phrase variant of a k=8 text page: 0 ISO dates, 1 month-name dates,
+    * 2 en-dash year range, 3 month range with year-context inheritance —
+    * exercising the reference date grammar (dates.py:33-181). Expected tbox per
+    * variant is mirrored in SparkEntry.EXT (ds8/de8).
+    */
+  def textVariant(d: Long): Int = (d % 4).toInt
+
   /** The `text` column (extracted plain text; byte-identical invariant). */
   def text(d: Long): String = kind(d) match {
     case 8 =>
-      val base = s"Survey near ${place(d)} conducted from ${dateD(d)} to ${dateEnd(d)}."
+      val phrase = textVariant(d) match {
+        case 0 => s"from ${dateD(d)} to ${dateEnd(d)}"
+        case 1 => s"from ${monthNameFmt.format(dateD(d))} to ${monthNameFmt.format(dateEnd(d))}"
+        case 2 => s"over ${dateD(d).getYear}–${dateEnd(d).getYear}"
+        case _ => s"from January to March ${dateD(d).getYear}"
+      }
+      val base = s"Survey near ${place(d)} conducted $phrase."
       if (hasPeriod(d)) base + s" Deposits date to the ${period(d)}." else base
     case 9 =>
       // no digits/places/periods: the text handler must find nothing here

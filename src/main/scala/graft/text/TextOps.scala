@@ -243,4 +243,31 @@ object TextOps {
     docs.withColumn("cum_size", sum(col(sizeCol)).over(w))
       .filter(col("cum_size") <= limit)
   }
+
+  /** F5 size-limited selection over ATOMIC GROUPS with the reference's four
+    * strategies (reference: helpfunctions.py:2012-2150; group atomicity — a
+    * shapefile's component files are selected or skipped together —
+    * helpfunctions.py:1949-2009). The strategy orders the groups, the running
+    * cumsum of group sizes applies the limit, then members rejoin their
+    * selected groups. "random" uses a deterministic md5-of-group-key order —
+    * the engine's reproducible analog of the reference's random.seed(42)
+    * shuffle (seeded-PRNG permutations aren't portable across engines; a
+    * keyed hash order is equally uniform and oracle-checkable).
+    */
+  def groupedSizeSelect(docs: DataFrame, sizeCol: String, groupExpr: Column,
+                        strategy: String, limit: Long): DataFrame = {
+    val groups = docs.withColumn("_g", groupExpr)
+      .groupBy("_g").agg(sum(col(sizeCol)).as("_gsize"))
+    val w = (strategy match {
+      case "random" => Window.orderBy(md5(col("_g").cast("string")), col("_g"))
+      case "smallest" => Window.orderBy(col("_gsize").asc, col("_g"))
+      case "largest" => Window.orderBy(col("_gsize").desc, col("_g"))
+      case _ => Window.orderBy(col("_g"))
+    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selected = groups.withColumn("_cum", sum("_gsize").over(w))
+      .filter(col("_cum") <= limit)
+    docs.withColumn("_g", groupExpr)
+      .join(selected.select(col("_g"), col("_cum")), Seq("_g"), "inner")
+      .withColumnRenamed("_g", "grp").withColumnRenamed("_cum", "grp_cum")
+  }
 }

@@ -199,4 +199,43 @@ class ParserSpec extends AnyFunSuite {
     val wrapper = "<html><body>Survey near Paris.</body></html>"
     assert(Extract.extract(wrapper.getBytes("UTF-8"), "Survey near Paris.", "en").handler === "text")
   }
+
+  test("html ladder step 7: OJS administrativeUnits bbox fallback (reference _base.py:616-631)") {
+    // list-form bbox; the "not available" sentinel unit is skipped
+    val ojs = """{"type":"FeatureCollection","features":[],"administrativeUnits":[""" +
+      """{"name":"u0","bbox":"not available"},{"name":"u1","bbox":[4.5,50.25,5.5,51.0]}]}"""
+    assert(HtmlMeta.adminUnitBbox(ojs) === Some(graft.geo.Extent(4.5, 50.25, 5.5, 51.0)))
+    // string-form "w,s,e,n" bbox
+    val ojsStr = """{"administrativeUnits":[{"bbox":"1.5, 2.5, 3.5, 4.5"}]}"""
+    assert(HtmlMeta.adminUnitBbox(ojsStr) === Some(graft.geo.Extent(1.5, 2.5, 3.5, 4.5)))
+    // no usable unit
+    assert(HtmlMeta.adminUnitBbox("""{"administrativeUnits":[{"bbox":"n/a"}]}""").isEmpty)
+    // end-to-end: step 3 fails (features empty) and step 7 claims the extent
+    val html = "<html><head><meta name=\"DC.SpatialCoverage\" scheme=\"GeoJSON\" content=\"" +
+      "{&quot;type&quot;:&quot;FeatureCollection&quot;,&quot;features&quot;:[]," +
+      "&quot;administrativeUnits&quot;:[{&quot;bbox&quot;:[4.5,50.25,5.5,51.0]}]}\"></head></html>"
+    val r = HtmlMeta.extract(html)
+    assert(r.extent === Some(graft.geo.Extent(4.5, 50.25, 5.5, 51.0)))
+    assert(r.spatialSource === Some("ojs.admin-unit"))
+  }
+
+  test("html ladder: rule-3 feature geometry beats rule-7 admin-unit bbox") {
+    val html = "<html><head><meta name=\"DC.SpatialCoverage\" scheme=\"GeoJSON\" content=\"" +
+      "{&quot;type&quot;:&quot;FeatureCollection&quot;,&quot;features&quot;:[{&quot;type&quot;:&quot;Feature&quot;," +
+      "&quot;geometry&quot;:{&quot;type&quot;:&quot;Point&quot;,&quot;coordinates&quot;:[7.5,51.5]}}]," +
+      "&quot;administrativeUnits&quot;:[{&quot;bbox&quot;:[1.0,2.0,3.0,4.0]}]}\"></head></html>"
+    val r = HtmlMeta.extract(html)
+    assert(r.spatialSource === Some("dc.spatialcoverage:geojson"))
+    assert(r.extent === Some(graft.geo.Extent(7.5, 51.5, 7.5, 51.5)))
+  }
+
+  test("dispatch: HTML page embedding GeoJSON in a meta attribute is html, not vector") {
+    val d = 16L // k=6, (d/10)%2==1 → OJS sub-variant
+    val payload = graft.table.PayloadSpec.payload(d)
+    val r = Extract.extract(payload.getBytes("UTF-8"), graft.table.PayloadSpec.text(d), "en")
+    assert(r.handler === "html")
+    assert(r.srcTag === Some("ojs.admin-unit"))
+    assert(r.minLon === Some(graft.table.PayloadSpec.lon0(d)))
+    assert(r.maxLat === Some(graft.table.PayloadSpec.lat1(d)))
+  }
 }
