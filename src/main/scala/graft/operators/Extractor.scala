@@ -38,6 +38,17 @@ final case class ExtractedPage(
   */
 object Extractor {
 
+  /** F1 auxiliary-file suffixes (reference: geoextent/lib/extent.py:434-466 —
+    * sidecar files that must never be parsed as payloads).
+    */
+  val AuxiliarySuffixes: Seq[String] = Seq(".ovr", ".aux.xml", ".tif.xml", ".tiff.xml", ".msk")
+
+  /** Drop rows whose url names an auxiliary sidecar file. */
+  def skipAuxiliary(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lower}
+    AuxiliarySuffixes.foldLeft(pages)((df, suf) => df.filter(!lower(col(urlCol)).endsWith(suf)))
+  }
+
   def extract(pages: DataFrame, joinZoom: Int = Pages.JoinZoom): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._

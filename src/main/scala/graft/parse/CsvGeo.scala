@@ -119,7 +119,9 @@ object CsvGeo {
     val up = t.toUpperCase
     if (wktPrefixes.exists(up.startsWith)) Wkt.coords(t)
     else Wkt.wkbHexCoords(t)
-      .orElse(Wkt.wkbCoords(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // raw WKB must see the UNtrimmed value: its byte-order marker byte 0x01
+      // is a control character that trim would strip
+      .orElse(Wkt.wkbCoords(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       .orElse(Wkt.coords(t))
   }
 

@@ -114,10 +114,9 @@ object Extract {
     if (lang == null || lang.isEmpty || lang.startsWith("en")) {
       val body = if (text != null && text.nonEmpty) text else payload
       val r = TextGeo.extract(body)
-      // vertex set = the gazetteer hit points (polygon boundaries would
-      // contribute their envelope corners, reference: handle_text.py:165-186)
-      val pts = r.places.flatMap(sp => TextGeo.gazetteer.get(sp.value))
-        .flatMap { case (lat, lon) => Seq(lon, lat) }.toArray
+      // vertex set = the resolved gazetteer hit points (polygon boundaries
+      // would contribute their envelope corners, reference: handle_text.py:165-186)
+      val pts = r.points.flatMap { case (lon, lat) => Seq(lon, lat) }.toArray
       return out("text", r.extent, r.tbox, verts = pts)
     }
     none

@@ -26,24 +26,41 @@ object TextGeo {
 
   final case class Span(value: String, charStart: Int, charEnd: Int)
   final case class TextResult(extent: Option[Extent], tbox: Option[(String, String)],
-                              places: Seq[Span], dates: Seq[Span], periods: Seq[Span])
+                              places: Seq[Span], dates: Seq[Span], periods: Seq[Span],
+                              points: Seq[(Double, Double)])
 
-  /** Offline gazetteer: place name → (lat, lon). Deterministic stand-in for the
-    * reference's Nominatim lookups; coordinates are exact binary fractions so
-    * downstream golden values are float-stable.
+  /** Offline gazetteer: place name → ranked candidate (lat, lon) hits.
+    * Deterministic stand-in for the reference's Nominatim lookups (limit-5
+    * candidate lists, reference: gazetteer.py:594-650); coordinates are exact
+    * binary fractions so downstream golden values are float-stable. Names with
+    * several candidates exercise the drop/top ambiguity strategies.
     */
-  val gazetteer: Map[String, (Double, Double)] = Map(
-    "Amsterdam" -> (52.375, 4.875),
-    "Berlin" -> (52.5, 13.375),
-    "Paris" -> (48.875, 2.375),
-    "Madrid" -> (40.5, -3.625),
-    "Rome" -> (41.875, 12.5),
-    "Muenster" -> (51.9625, 7.625),
-    "Barcelona" -> (41.375, 2.125),
-    "London" -> (51.5, -0.125),
-    "Vienna" -> (48.25, 16.375),
-    "Lisbon" -> (38.75, -9.125),
+  val gazetteer: Map[String, Seq[(Double, Double)]] = Map(
+    "Amsterdam" -> Seq((52.375, 4.875)),
+    "Berlin" -> Seq((52.5, 13.375)),
+    "Paris" -> Seq((48.875, 2.375)),
+    "Madrid" -> Seq((40.5, -3.625)),
+    "Rome" -> Seq((41.875, 12.5)),
+    "Muenster" -> Seq((51.9625, 7.625)),
+    "Barcelona" -> Seq((41.375, 2.125)),
+    "London" -> Seq((51.5, -0.125)),
+    "Vienna" -> Seq((48.25, 16.375)),
+    "Lisbon" -> Seq((38.75, -9.125)),
+    // ambiguous names (several gazetteer hits, ranked)
+    "Springfield" -> Seq((39.75, -89.625), (42.125, -72.5)),
+    "Cambridge" -> Seq((52.25, 0.125), (42.375, -71.125)),
   )
+
+  /** Ambiguity strategy (reference: gazetteer.py:606-607 + handle_text.py
+    * ner_ambiguity default "drop"): a mention with >1 candidate hit is skipped
+    * under "drop" and takes the top-ranked hit under "top".
+    */
+  def resolvePlace(name: String, ambiguity: String): Option[(Double, Double)] =
+    gazetteer.get(name).flatMap { hits =>
+      if (hits.length == 1) Some(hits.head)
+      else if (ambiguity == "top") hits.headOption
+      else None
+    }
 
   /** Bundled geological-period gazetteer (ICS GTS2020 boundaries, the values the
     * reference ships in geoextent/lib/data/periods.json — public chronostratigraphic
@@ -96,23 +113,30 @@ object TextGeo {
 
   def looksLikeText(s: String): Boolean = !s.trim.startsWith("<") && !s.trim.startsWith("{")
 
-  def extract(raw: String): TextResult = {
+  def extract(raw: String): TextResult = extract(raw, "drop")
+
+  def extract(raw: String, ambiguity: String): TextResult = {
     // NFC normalisation internal to matching; offsets refer to the normalised view
     val text = java.text.Normalizer.normalize(
       if (raw.nonEmpty && raw.charAt(0) == '﻿') raw.substring(1) else raw,
       java.text.Normalizer.Form.NFC)
 
-    // places
+    // places: every gazetteer-name mention is a provenance span; only mentions
+    // that RESOLVE (unambiguous, or top-ranked under "top") contribute points
     val places = ArrayBuffer.empty[Span]
+    val points = ArrayBuffer.empty[(Double, Double)]
     val pts = ArrayBuffer.empty[Double]
-    for ((name, (lat, lon)) <- gazetteer) {
+    for (name <- gazetteer.keys) {
       var idx = text.indexOf(name)
       while (idx >= 0) {
         val before = if (idx == 0) ' ' else text.charAt(idx - 1)
         val after = if (idx + name.length >= text.length) ' ' else text.charAt(idx + name.length)
         if (!before.isLetter && !after.isLetter) {
           places += Span(name, idx, idx + name.length)
-          pts += lon; pts += lat
+          resolvePlace(name, ambiguity).foreach { case (lat, lon) =>
+            points += ((lon, lat))
+            pts += lon; pts += lat
+          }
         }
         idx = text.indexOf(name, idx + 1)
       }
@@ -193,6 +217,7 @@ object TextGeo {
 
     val tbox = if (tStart == null) None else Some((tStart, tEnd))
     TextResult(extent, tbox, places.sortBy(_.charStart).toSeq,
-      dateSpans.sortBy(_.charStart).toSeq, periodSpans.sortBy(_.charStart).toSeq)
+      dateSpans.sortBy(_.charStart).toSeq, periodSpans.sortBy(_.charStart).toSeq,
+      points.toSeq)
   }
 }

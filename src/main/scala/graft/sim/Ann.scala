@@ -101,6 +101,43 @@ object Ann {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
+    * `nCentroids` cells; each probe searches only its `nProbe` nearest cells,
+    * with exact cosine re-rank inside the candidate set.
+    *
+    * Scale shape (the 100 TB path): centroids are a tiny driver-side list
+    * (broadcast via closure); cell assignment is one narrow pass over the
+    * corpus; the per-probe search is an equi-join on cell id against the
+    * nProbe probe cells — the corpus is never cross-joined and, with the
+    * index written out partitioned by cell, a probe reads nProbe/nCentroids
+    * of the data. Centroid choice is deterministic (every corpus/nCentroids-th
+    * vector by id) — a seeded-sample stand-in for k-means training.
+    */
+  def ivfTopK(vectors: DataFrame, probes: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = vectors.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents: Array[(Int, Seq[Float])] = vectors
+      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(nCentroids)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }
+    val assignUdf = udf((v: Seq[Float]) =>
+      cents.maxBy { case (_, c) => cosine(v, c) }._1)
+    val probeCellsUdf = udf((v: Seq[Float]) =>
+      cents.sortBy { case (i, c) => (-cosine(v, c), i) }.take(nProbe).map(_._1))
+    val indexed = vectors.select(col("vec_id").as("nid"), col("embedding").as("v"),
+      assignUdf(col("embedding")).as("ivf_cell"))
+    val probeCells = probes.select(col("vec_id").as("pid"), col("embedding").as("p"),
+      explode(probeCellsUdf(col("embedding"))).as("ivf_cell"))
+    val cand = indexed.join(broadcast(probeCells), Seq("ivf_cell"))
+      .filter(col("pid") =!= col("nid"))
+      .withColumn("cos", cosineUdf(col("p"), col("v")))
+    val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "nid", "cos")
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
     * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
     * inside the candidate set.

@@ -14,8 +14,11 @@ import java.time.LocalDate
   * Payload families mirror the reference's fixture families (FIXTURES.md §1):
   * k = d%10 → 0 geojson, 1 kml, 2 gpx, 3 csv lat/lon, 4 csv wkt/wkb geometry,
   * 5 html JSON-LD GeoShape (+ decoy ICBM, exercises the priority ladder),
-  * 6 html DC.box + DC.temporal, 7 html ICBM/geo.position point, 8 text with
-  * gazetteer place + dates (+ geological period on d%3==0), 9 plain text.
+  * 6 html DC.box ((d/10)%2==0) or OJS DC.SpatialCoverage administrativeUnits
+  * bbox ((d/10)%2==1, ladder step 7) + DC.temporal, 7 html ICBM/geo.position
+  * point, 8 text with gazetteer place + a date phrase in one of 4 grammar
+  * variants (d%4: ISO dates / month-name dates / en-dash year range / month
+  * range with year inheritance; + geological period on d%3==0), 9 plain text.
   *
   * Skew (north_rule): rows with d%100>=80 — 20 % of the corpus — all land on one
   * hot location (7.5, 51.5), producing hot cells that the salted join must handle.

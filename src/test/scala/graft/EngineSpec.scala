@@ -105,6 +105,22 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall $recall") // random vectors: buckets trade recall for scale
   }
 
+  test("IVF ANN recall vs exact brute force (nProbe/nCentroids = 1/4 of the corpus scanned)") {
+    assume(hasData)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = sim.Ann.cosineTopK(emb, probes, 5)
+      .select("pid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = sim.Ann.ivfTopK(emb, probes, 5)
+      .select("pid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf.size === exact.size)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // determinism: same centroids, same result
+    val again = sim.Ann.ivfTopK(emb, probes, 5).select("pid", "nid").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
+
   test("minhash est_jaccard approximates exact jaccard on candidates") {
     assume(hasData)
     val docs = spark.read.parquet(s"$sf/documents.parquet")

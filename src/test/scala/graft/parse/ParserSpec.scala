@@ -238,4 +238,50 @@ class ParserSpec extends AnyFunSuite {
     assert(r.minLon === Some(graft.table.PayloadSpec.lon0(d)))
     assert(r.maxLat === Some(graft.table.PayloadSpec.lat1(d)))
   }
+
+  test("gazetteer ambiguity: drop skips multi-hit names, top takes the ranked head (reference gazetteer.py:594-650)") {
+    val t = "Fieldwork in Springfield and Paris."
+    val dropped = TextGeo.extract(t, "drop")
+    // both mentions are provenance spans
+    assert(dropped.places.map(_.value).sorted === Seq("Paris", "Springfield"))
+    // but only the unambiguous Paris resolves → extent is the Paris point
+    assert(dropped.points === Seq((2.375, 48.875)))
+    assert(dropped.extent === Some(graft.geo.Extent(2.375, 48.875, 2.375, 48.875)))
+    val top = TextGeo.extract(t, "top")
+    assert(top.points.toSet === Set((2.375, 48.875), (-89.625, 39.75)))
+    assert(top.extent === Some(graft.geo.Extent(-89.625, 39.75, 2.375, 48.875)))
+  }
+
+  test("text date grammar: month-name dates, en-dash ranges, month-range year inheritance") {
+    val r1 = TextGeo.extract("Collected March 5, 2024 and 7 April 2024.")
+    assert(r1.tbox === Some(("2024-03-05", "2024-04-07")))
+    assert(r1.dates.map(_.value) === Seq("March 5, 2024", "7 April 2024"))
+    val r2 = TextGeo.extract("Deposits span 1820\u20131850 in the record.")
+    assert(r2.tbox === Some(("1820-01-01", "1850-12-31")))
+    val r3 = TextGeo.extract("Sampling from January to March 2024 was continuous.")
+    assert(r3.tbox === Some(("2024-01-01", "2024-03-31")))
+    assert(r3.dates.map(_.value) === Seq("January to March 2024"))
+    val r4 = TextGeo.extract("Observed in February 2023 only.")
+    assert(r4.tbox === Some(("2023-02-01", "2023-02-28")))
+  }
+
+  test("csv geometry value ladder: raw-WKB bytes after WKT and hex-WKB (reference handle_csv.py:602-642)") {
+    // POINT(2 3) raw little-endian WKB — all bytes are valid single-byte UTF-8,
+    // so the value survives the payload's string round trip
+    val raw = new String(Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 64, 0, 0, 0, 0, 0, 0, 8, 64), "ISO-8859-1")
+    assert(CsvGeo.geometryValueCoords(raw).map(_.toList) === Some(List(2.0, 3.0)))
+    // WKT and hex-WKB still take precedence on their shapes
+    assert(CsvGeo.geometryValueCoords("POINT (5 6)").map(_.toList) === Some(List(5.0, 6.0)))
+    assert(CsvGeo.geometryValueCoords(graft.geo.Wkt.extentToWkbHex(graft.geo.Extent(1, 2, 1, 2))).map(_.toList) === Some(List(1.0, 2.0)))
+  }
+
+  test("auxiliary-file skip drops sidecar urls (reference extent.py:434-466)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq("https://x/a.tif", "https://x/a.tif.OVR", "https://x/b.aux.xml",
+      "https://x/c.TIFF.xml", "https://x/d.msk", "https://x/keep.geojson")
+      .toDF("url")
+    val kept = graft.operators.Extractor.skipAuxiliary(df).as[String].collect().toSet
+    assert(kept === Set("https://x/a.tif", "https://x/keep.geojson"))
+  }
 }
