@@ -62,25 +62,13 @@ object TextGeo {
       else None
     }
 
-  /** Bundled geological-period gazetteer (ICS GTS2020 boundaries, the values the
-    * reference ships in geoextent/lib/data/periods.json — public chronostratigraphic
-    * chart data; signed-ISO deep time, year 1950 = "present" datum).
+  /** Bundled geological-period gazetteer: the FULL ICS GTS2020 chart (178
+    * periods/epochs/ages + aliases) in [[PeriodTable]] — the same public
+    * chronostratigraphic data the reference ships in
+    * geoextent/lib/data/periods.json; signed-ISO deep time, year 1950 =
+    * "present" datum.
     */
-  val periods: Map[String, (String, String)] = Map(
-    "Holocene" -> ("-9750-01-01", "1950-01-01"),
-    "Pleistocene" -> ("-2578050-01-01", "-9750-01-01"),
-    "Quaternary" -> ("-2578050-01-01", "1950-01-01"),
-    "Cenozoic" -> ("-65998050-01-01", "1950-01-01"),
-    "Cretaceous" -> ("-144998050-01-01", "-65998050-01-01"),
-    "Jurassic" -> ("-201298050-01-01", "-144998050-01-01"),
-    "Triassic" -> ("-251900050-01-01", "-201298050-01-01"),
-    "Permian" -> ("-298898050-01-01", "-251900050-01-01"),
-    "Carboniferous" -> ("-358898050-01-01", "-298898050-01-01"),
-    "Devonian" -> ("-419198050-01-01", "-358898050-01-01"),
-    "Silurian" -> ("-443798050-01-01", "-419198050-01-01"),
-    "Ordovician" -> ("-485398050-01-01", "-443798050-01-01"),
-    "Cambrian" -> ("-538798050-01-01", "-485398050-01-01"),
-  )
+  val periods: Map[String, (String, String)] = PeriodTable.envelope
 
   private val monthNames = Seq("January", "February", "March", "April", "May", "June",
     "July", "August", "September", "October", "November", "December")
@@ -143,7 +131,12 @@ object TextGeo {
     }
     val extent = Geo.envelope(pts.toArray)
 
-    // periods (longest name first so e.g. "Late Jurassic" alias logic stays stable)
+    // periods: one token-indexed pass against the full ICS table — each word
+    // token does a single hash lookup, then candidate surfaces (longest first)
+    // are verified in place; the PhraseMatcher analog of reference
+    // ner.py:110-141 without 178 indexOf passes per page. Span.value is the
+    // canonical period name; offsets cover the matched surface (incl. aliases
+    // like "Late Cretaceous Epoch").
     val periodSpans = ArrayBuffer.empty[Span]
     var tStart: String = null
     var tEnd: String = null
@@ -151,15 +144,20 @@ object TextGeo {
       tStart = SignedIso.min(tStart, s)
       tEnd = SignedIso.max(tEnd, e)
     }
-    for (name <- periods.keys.toSeq.sortBy(n => (-n.length, n))) {
-      var idx = text.indexOf(name)
-      while (idx >= 0) {
-        if (!periodSpans.exists(sp => idx < sp.charEnd && idx + name.length > sp.charStart)) {
-          periodSpans += Span(name, idx, idx + name.length)
-          val (s, e) = periods(name)
+    val wordToken = "[A-Za-z]+".r
+    for (m <- wordToken.findAllMatchIn(text); surfaces <- PeriodTable.byFirstToken.get(m.matched)) {
+      val start = m.start
+      surfaces.find { surf =>
+        text.regionMatches(start, surf, 0, surf.length) &&
+          (start + surf.length >= text.length || !text.charAt(start + surf.length).isLetter)
+      }.foreach { surf =>
+        val end = start + surf.length
+        if (!periodSpans.exists(sp => start < sp.charEnd && end > sp.charStart)) {
+          val canonical = PeriodTable.surfaceToCanonical(surf)
+          periodSpans += Span(canonical, start, end)
+          val (s, e) = PeriodTable.envelope(canonical)
           fold(s, e)
         }
-        idx = text.indexOf(name, idx + 1)
       }
     }
 

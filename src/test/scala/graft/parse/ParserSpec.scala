@@ -284,4 +284,39 @@ class ParserSpec extends AnyFunSuite {
     val kept = graft.operators.Extractor.skipAuxiliary(df).as[String].collect().toSet
     assert(kept === Set("https://x/a.tif", "https://x/keep.geojson"))
   }
+
+  test("reference text-temporal goldens (tests/test_api_text_temporal.py:53-110)") {
+    // single ISO day
+    assert(TextGeo.extract("On 2024-05-12 the survey ran.").tbox === Some(("2024-05-12", "2024-05-12")))
+    // decade envelope
+    assert(TextGeo.extract("The site was first surveyed in the 1990s.").tbox ===
+      Some(("1990-01-01", "1999-12-31")))
+    // between-range split
+    assert(TextGeo.extract("Monitoring ran between 2010 and 2015.").tbox ===
+      Some(("2010-01-01", "2015-12-31")))
+    // Holocene period (ICS GTS2020 signed-ISO)
+    val hol = TextGeo.extract("Sediment cores cover the Holocene.")
+    assert(hol.tbox === Some(("-9750-01-01", "1950-01-01")))
+    assert(hol.periods.map(_.value) === Seq("Holocene"))
+    // Pleistocene end boundary
+    assert(TextGeo.extract("Pleistocene cores below the modern surface.").tbox.get._2 === "-9750-01-01")
+    // mixed period + explicit date
+    val mixed = TextGeo.extract("Cores from the Holocene with a re-survey in 2024-05-12.")
+    assert(mixed.tbox === Some(("-9750-01-01", "2024-05-12")))
+    assert(mixed.periods.nonEmpty && mixed.dates.nonEmpty)
+  }
+
+  test("full ICS period table: multiword epoch phrases and aliases (reference test_api_text_temporal.py:129-141)") {
+    val r = TextGeo.extract("Fossils from the Late Cretaceous strata.")
+    assert(r.periods.map(_.value) === Seq("Late Cretaceous"))
+    assert(r.tbox === Some(("-100498050-01-01", "-65998050-01-01")))
+    // the multiword epoch wins over the contained period name
+    assert(!r.periods.exists(_.value == "Cretaceous"))
+    // alias surface resolves to the canonical name with alias-length offsets
+    val a = TextGeo.extract("Dated to the Jurassic Period by index fossils.")
+    assert(a.periods.map(_.value) === Seq("Jurassic"))
+    assert(a.periods.head.charEnd - a.periods.head.charStart === "Jurassic Period".length)
+    // 178 entries present
+    assert(graft.parse.PeriodTable.entries.size === 178)
+  }
 }
