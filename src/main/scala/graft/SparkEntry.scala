@@ -404,6 +404,18 @@ object SparkEntry {
       Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
 
+    // J3 at corpus scale on BOTH sides: kNN with a large DataFrame query set
+    // (every k=7 point page probes the whole corpus; queries include
+    // themselves — rank 1 is the self-match at dist 0)
+    "q48_knn_big" -> ((s, dir) => {
+      val e = withCentroid(extracted(s, dir))
+      val pts = e.select(col("d").as("pid"), col("lonc").as("lon"), col("latc").as("lat"), col("cell"))
+      val qs = e.filter(col("d") % 100 === 7)
+        .select(col("d").as("qid"), col("lonc").as("qlon"), col("latc").as("qlat"))
+      SpatialJoins.knnJoinBig(qs, pts, 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("pid"), col("dist2"))
+    }),
+
     // ANN: IVF coarse-quantizer variant (rows-only; recall vs exact checked in
     // EngineSpec) — the nProbe/nCentroids partial-scan scale path
     "q47_ann_ivf" -> ((s, dir) => {
@@ -798,6 +810,14 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q48_knn_big" -> (EXT +
+      """, c AS (SELECT d, (min_lon+max_lon)/2 AS lon, (min_lat+max_lat)/2 AS lat FROM ext WHERE min_lon IS NOT NULL),
+q AS (SELECT d AS qid, lon AS qlon, lat AS qlat FROM c WHERE d % 100 = 7),
+cand AS (SELECT q.qid, c.d AS pid,
+  (c.lon - q.qlon)*(c.lon - q.qlon) + (c.lat - q.qlat)*(c.lat - q.qlat) AS dist2 FROM q, c),
+r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM cand)
+SELECT qid, CAST(rank AS BIGINT) AS rank, pid, dist2 FROM r WHERE rank <= 3"""),
 
     "q47_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),

@@ -49,6 +49,81 @@ object SpatialJoins {
     * query goes to the next round with r doubled. Distances are squared degrees
     * (the reference compares raw lon/lat, geoextent/lib/handle_text.py:129-135).
     */
+  /** Squared-degree lower bound on the distance from (qlon,qlat) to anything
+    * OUTSIDE its Chebyshev-`rr` disk of cells; MaxValue when every binding
+    * side of the disk is clamped at the world edge (nothing exists beyond).
+    */
+  def diskBound2(qcell: Long, qlon: Double, qlat: Double, rr: Int): Double = {
+    val z = QuadKey.level(qcell)
+    val n = 1 << z
+    val x = QuadKey.decodeX(qcell); val y = QuadKey.decodeY(qcell)
+    val lo = QuadKey.tileExtent(QuadKey.encodeXY(math.max(0, x - rr), math.max(0, y - rr), z))
+    val hi = QuadKey.tileExtent(QuadKey.encodeXY(math.min(n - 1, x + rr), math.min(n - 1, y + rr), z))
+    val ext = lo.merge(hi)
+    val left = if (x - rr <= 0) Double.MaxValue else qlon - ext.minLon
+    val right = if (x + rr >= n - 1) Double.MaxValue else ext.maxLon - qlon
+    val bot = if (y + rr >= n - 1) Double.MaxValue else qlat - ext.minLat
+    val top = if (y - rr <= 0) Double.MaxValue else ext.maxLat - qlat
+    val b = Seq(left, right, bot, top).min
+    if (b == Double.MaxValue) Double.MaxValue else b * b
+  }
+
+  /** J3 at corpus scale on BOTH sides: kNN where the query set is itself a
+    * large DataFrame (millions of probes) — nothing query-related ever lives
+    * on the driver. Each round explodes the remaining queries to their
+    * (2r+1)² disk cells, equi-joins candidates on the cell id (grid-
+    * partitioned shuffle join, never a cross join), takes per-query top-k,
+    * and finalizes queries whose kth distance is certified exact by
+    * `diskBound2`; unfinished queries continue with r doubled (≤ zoom+1
+    * rounds to the world disk). Distances are squared degrees, matching
+    * `knnJoin`.
+    */
+  def knnJoinBig(queries: DataFrame, points: DataFrame, k: Int,
+                 zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select("pid", "lon", "lat", "cell").cache()
+    val qcellUdf = udf((lat: Double, lon: Double) => QuadKey.encode(lat, lon, zoom))
+    var remaining = queries.select(col("qid"), col("qlon"), col("qlat"))
+      .withColumn("_qcell", qcellUdf(col("qlat"), col("qlon"))).cache()
+    val maxR = 1 << zoom
+    var acc: DataFrame = null
+    var r = 1
+    var done = remaining.isEmpty
+    while (!done) {
+      val rr = math.min(r, maxR)
+      val diskUdf = udf((cell: Long) => QuadKey.disk(cell, rr))
+      val boundUdf = udf((cell: Long, qlon: Double, qlat: Double) => diskBound2(cell, qlon, qlat, rr))
+      val q = remaining.withColumn("_b2", boundUdf(col("_qcell"), col("qlon"), col("qlat")))
+        .withColumn("cell", explode(diskUdf(col("_qcell"))))
+      val cand = pts.join(q, Seq("cell"))
+        .withColumn("dist2",
+          (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+            (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist2").asc, col("pid").asc)
+      val topk = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("pid"), col("dist2"), col("_b2"))
+      val finals = topk.groupBy("qid")
+        .agg(count(lit(1)).as("_cnt"), max("dist2").as("_kth"), first("_b2").as("_b"))
+        .filter(lit(rr >= maxR) || (col("_cnt") >= k && col("_kth") <= col("_b")))
+        .select("qid")
+      val doneRows = topk.join(finals, Seq("qid"), "left_semi")
+        .select("qid", "rank", "pid", "dist2").cache()
+      doneRows.count() // materialize before remaining/pts caches churn
+      acc = if (acc == null) doneRows else acc.unionByName(doneRows)
+      val next = remaining.join(finals, Seq("qid"), "left_anti").cache()
+      done = rr >= maxR || next.isEmpty
+      remaining.unpersist()
+      remaining = next
+      r *= 2
+    }
+    remaining.unpersist()
+    pts.unpersist()
+    if (acc == null) Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "pid", "dist2")
+    else acc
+  }
+
   def knnJoin(queries: Seq[(Long, Double, Double)], points: DataFrame, k: Int,
               zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
     // Contract: the query set is driver-resident and broadcast each round —
@@ -74,18 +149,7 @@ object SpatialJoins {
       // disk bound: min distance from the query point to the covered rectangle's
       // border; sides clamped at the world edge are unbounded (nothing beyond)
       val bounds = remaining.map { case (qid, qlon, qlat) =>
-        val qc = QuadKey.encode(qlat, qlon, zoom)
-        val rr = math.min(r, maxR)
-        val cells = QuadKey.disk(qc, rr)
-        val ext = cells.map(QuadKey.tileExtent).reduce(_ merge _)
-        val n = 1 << zoom
-        val x = QuadKey.decodeX(qc); val y = QuadKey.decodeY(qc)
-        val left = if (x - rr <= 0) Double.MaxValue else qlon - ext.minLon
-        val right = if (x + rr >= n - 1) Double.MaxValue else ext.maxLon - qlon
-        val bot = if (y + rr >= n - 1) Double.MaxValue else qlat - ext.minLat
-        val top = if (y - rr <= 0) Double.MaxValue else ext.maxLat - qlat
-        val b = Seq(left, right, bot, top).min
-        (qid, if (b == Double.MaxValue) Double.MaxValue else b * b)
+        (qid, diskBound2(QuadKey.encode(qlat, qlon, zoom), qlon, qlat, math.min(r, maxR)))
       }.toMap
       val cand = pts.join(broadcast(cellMap), Seq("cell"), "inner")
         .withColumn("dist2",

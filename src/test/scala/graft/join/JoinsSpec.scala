@@ -102,4 +102,39 @@ class JoinsSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(bucketed === plain)
   }
+
+  test("knnJoinBig (DataFrame query side) equals brute-force top-k and the driver-side knnJoin") {
+    val pts = randomPoints(3000, 3L)
+    val ptsDf = pts.toDF("pid", "lon", "lat", "cell")
+    // a larger query set incl. sparse corners and the hot cell
+    val queries = (0 until 40).map { i =>
+      (i.toLong, (i * 17 % 340).toDouble - 170.0, (i * 11 % 160).toDouble - 80.0)
+    } ++ Seq((100L, -179.9, -84.9), (101L, 7.5, 51.5))
+    val qDf = queries.toDF("qid", "qlon", "qlat")
+    val got = SpatialJoins.knnJoinBig(qDf, ptsDf, 5)
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val expected = queries.map { case (qid, qlon, qlat) =>
+      qid -> pts.map { case (pid, lon, lat, _) =>
+        (pid, (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat))
+      }.sortBy { case (pid, d) => (d, pid) }.take(5).map(_._1).toList
+    }.toMap
+    assert(got === expected)
+    // and the two planners agree
+    val driver = SpatialJoins.knnJoin(queries, ptsDf, 5)
+      .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(got === driver)
+  }
+
+  test("knnJoinBig: fewer than k corpus points yields partial top-k; empty corpus yields empty frame") {
+    val tiny = Seq((1L, 0.0, 0.0, graft.cells.QuadKey.encode(0.0, 0.0, 4)),
+      (2L, 10.0, 10.0, graft.cells.QuadKey.encode(10.0, 10.0, 4)))
+      .toDF("pid", "lon", "lat", "cell")
+    val q = Seq((7L, 5.0, 5.0)).toDF("qid", "qlon", "qlat")
+    val partial = SpatialJoins.knnJoinBig(q, tiny, 5).select("qid", "pid").as[(Long, Long)].collect()
+    assert(partial.length === 2)
+    val empty = SpatialJoins.knnJoinBig(q, tiny.filter(col("pid") < 0), 5)
+    assert(empty.count() === 0)
+  }
 }
