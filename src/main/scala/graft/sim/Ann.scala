@@ -154,10 +154,16 @@ object Ann {
               .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
     val v = withBuckets(vectors, "nid", "v")
     val p = withBuckets(probes, "pid", "p")
+    // score per bucket collision, then hash-aggregate by (pid, nid): a
+    // dropDuplicates carrying both embedding arrays would fall back to
+    // SortAggregate (array agg buffers aren't hash-mutable) — a full sort of
+    // the candidate set; cos is identical across a pair's collisions so
+    // max() is exact, and the double-typed buffer keeps the agg hash-based
+    // with map-side partials
     val cand = v.join(broadcast(p), Seq("_table", "_bucket"))
       .filter(col("pid") =!= col("nid"))
-      .dropDuplicates("pid", "nid")
       .withColumn("cos", cosineUdf(col("p"), col("v")))
+      .groupBy("pid", "nid").agg(max("cos").as("cos"))
     val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -83,10 +83,15 @@ object TextOps {
     * task — the canonical 100 TB dedup scale-killer. Exact-duplicate pairs
     * belong to `exactDupGroups`; the LSH operators own only near-duplicates.
     */
-  def collapseExactDups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("_h"))
-      .agg(min("doc_id").as("doc_id"), first("text").as("text"))
-      .drop("_h")
+  def collapseExactDups(docs: DataFrame): DataFrame = {
+    // canonical ids via hash aggregation, then a semi join to keep the text —
+    // aggregating the text itself (first(text)) would force SortAggregate
+    // (string agg buffers aren't hash-mutable), i.e. a full corpus sort
+    val canon = docs.groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    docs.select("doc_id", "text")
+      .join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
 
   /** Drop rows living in buckets with more than `cap` members. A bucket above
     * the cap is a degenerate near-clone cluster: its pair count grows
