@@ -88,23 +88,33 @@ object CsvGeo {
     * (reference support probe: geoextent/lib/handle_csv.py:113-165).
     */
   def isSupported(payload: String): Boolean =
-    parseCsv(payload).exists { case (header, _) =>
-      findColumn(header, geomPatterns).isDefined ||
-        (findColumn(header, latPatterns).isDefined && findColumn(header, lonPatterns).isDefined)
-    }
+    parseCsv(payload).exists { case (header, _) => headerSupported(header) }
+
+  private def headerSupported(header: Array[String]): Boolean =
+    findColumn(header, geomPatterns).isDefined ||
+      (findColumn(header, latPatterns).isDefined && findColumn(header, lonPatterns).isDefined)
 
   final case class CsvResult(extent: Option[Extent], tbox: Option[(String, String)], crs: String,
                              verts: Array[Double])
 
+  /** Support probe + extraction in ONE tokenizer pass (the hot mapPartitions
+    * dispatch path would otherwise tokenize every CSV payload twice).
+    */
+  def extractIfSupported(payload: String): Option[CsvResult] =
+    parseCsv(payload).filter { case (header, _) => headerSupported(header) }
+      .map { case (header, rows) => extractParsed(header, rows) }
+
   def extract(payload: String): Option[CsvResult] =
-    parseCsv(payload).map { case (header, rows) =>
-      val (extent, verts) = extractExtent(header, rows)
-      val tbox = extractTbox(header, rows)
-      val crs = findColumn(header, crsPatterns).flatMap { ci =>
-        rows.headOption.map(_.lift(ci).getOrElse("4326").trim)
-      }.filter(_.nonEmpty).getOrElse("4326")
-      CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs, verts)
-    }
+    parseCsv(payload).map { case (header, rows) => extractParsed(header, rows) }
+
+  private def extractParsed(header: Array[String], rows: Array[Array[String]]): CsvResult = {
+    val (extent, verts) = extractExtent(header, rows)
+    val tbox = extractTbox(header, rows)
+    val crs = findColumn(header, crsPatterns).flatMap { ci =>
+      rows.headOption.map(_.lift(ci).getOrElse("4326").trim)
+    }.filter(_.nonEmpty).getOrElse("4326")
+    CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs, verts)
+  }
 
   private val wktPrefixes = Array("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
     "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")

@@ -74,8 +74,8 @@ object Extract {
     // line-split per page. Preserves the reference's CSV-first claim order for
     // every payload CSV could actually claim.
     val head = firstNonWs(payload)
-    if (head != '<' && head != '{' && CsvGeo.isSupported(payload)) {
-      CsvGeo.extract(payload) match {
+    if (head != '<' && head != '{') {
+      CsvGeo.extractIfSupported(payload) match {
         case Some(r) => return out("csv", r.extent, r.tbox, None, r.crs, r.verts)
         case None =>
       }

@@ -143,4 +143,34 @@ class EngineSpec extends AnyFunSuite {
       assert(texts.distinct.length === 1)
     }
   }
+
+  test("export round-trip: CSV writers with summary rows, re-read + join drops summaries (reference test_join.py:24-80)") {
+    assume(hasData)
+    val dir = Files.createTempDirectory("graft-export").toString
+    val e = operators.Extractor.extract(table.Pages.pages(spark, sf)).toDF()
+      .filter(col("min_lon").isNotNull)
+      .select(col("d").as("doc_id"), col("handler"), col("min_lon"), col("min_lat"),
+        col("max_lon"), col("max_lat"))
+    // two exports, each with a reference-style summary row appended
+    def export(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.withColumn("doc_id", col("doc_id").cast("string"))
+        .unionByName(spark.range(1).select(lit("summary").as("doc_id"), lit("graft:0.1").as("handler"),
+          lit(null).cast("double").as("min_lon"), lit(null).cast("double").as("min_lat"),
+          lit(null).cast("double").as("max_lon"), lit(null).cast("double").as("max_lat")))
+        .coalesce(1).write.option("header", "true").csv(path)
+    val vec = e.filter(col("handler") === "vector")
+    val csvH = e.filter(col("handler") === "csv")
+    export(vec, s"$dir/a"); export(csvH, s"$dir/b")
+    // re-read, union, drop summary rows (S11 join semantics)
+    val back = spark.read.option("header", "true").csv(s"$dir/a")
+      .unionByName(spark.read.option("header", "true").csv(s"$dir/b"))
+    assert(back.filter(col("handler").startsWith("graft:")).count() === 2)
+    val joined = back.filter(!col("handler").startsWith("graft:"))
+    assert(joined.count() === vec.count() + csvH.count())
+    // values survive the round trip (CSV stringifies; compare as doubles)
+    val orig = e.filter(col("handler").isin("vector", "csv"))
+      .select(col("doc_id").cast("string"), col("min_lon")).as[(String, Double)].collect().toMap
+    val rt = joined.select(col("doc_id"), col("min_lon").cast("double")).as[(String, Double)].collect().toMap
+    assert(rt === orig)
+  }
 }
