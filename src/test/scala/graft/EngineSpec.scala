@@ -173,4 +173,28 @@ class EngineSpec extends AnyFunSuite {
     val rt = joined.select(col("doc_id"), col("min_lon").cast("double")).as[(String, Double)].collect().toMap
     assert(rt === orig)
   }
+
+  test("streaming extraction parity: readStream pages -> extract -> windowed merge matches batch") {
+    assume(hasData)
+    // stage the pages corpus as a parquet DIRECTORY for FileStreamSource
+    val dir = Files.createTempDirectory("graft-pages-stream").toString
+    table.Pages.pages(spark, sf).coalesce(2).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      operators.Extractor.extract(df.withColumn("warc_ts", col("warc_ts").cast("timestamp"))).toDF()
+        .filter(col("min_lon").isNotNull)
+        .groupBy(window(col("warc_ts"), "1 hour"), col("handler"))
+        .agg(count(lit(1)).as("cnt"), min("min_lon").as("mn"), max("max_lon").as("mx"))
+        .select(col("window.start").as("hr"), col("handler"), col("cnt"), col("mn"), col("mx"))
+    val stream = pipeline(
+      spark.readStream.schema(schema).parquet(dir).withWatermark("warc_ts", "1 hour"))
+    val q = stream.writeStream.outputMode("complete").format("memory").queryName("pg_win").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pg_win")
+      .as[(java.sql.Timestamp, String, Long, Double, Double)].collect().toSet
+    val batch = pipeline(spark.read.parquet(dir))
+      .as[(java.sql.Timestamp, String, Long, Double, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
