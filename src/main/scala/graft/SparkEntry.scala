@@ -438,6 +438,42 @@ object SparkEntry {
         floor(col("doc_id") / 10).cast("long"), "largest", 30000L)
         .select(col("doc_id"), col("n_chars"), col("grp"), col("grp_cum"))),
 
+    // north_rule raster↔vector bridge: raster extents and page extents meet in
+    // the same quadkey tile space — rasters explode to their tile cover and
+    // join the per-tile page rollup on the tile id (an equi join, no geometry
+    // predicate at join time)
+    "q49_raster_tile_bridge" -> ((s, dir) => {
+      val rext = graft.table.RasterTable.extents(graft.table.RasterTable.rasters(s, dir))
+      val rTiles = Tiler.tileAssignments(rext, Pages.TileZoom)
+        .select(col("raster_id"), col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"))
+      val pTiles = Tiler.tileSummaries(extracted(s, dir), Pages.TileZoom)
+        .select(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"), col("cnt"))
+      rTiles.join(pTiles, Seq("tx", "ty"))
+        .groupBy("raster_id")
+        .agg(count(lit(1)).as("n_tiles_hit"), sum("cnt").as("n_pages"))
+    }),
+
+    // reference `placename` decoration (extent.py:930-957): the merged
+    // geometry's centroid reverse-geocodes to the nearest gazetteer entry
+    // (offline gazetteer top candidates; distance in squared degrees)
+    "q50_placename" -> ((s, dir) => {
+      import graft.parse.TextGeo
+      val gaz = TextGeo.gazetteer.toSeq
+        .map { case (n, hits) => (n, hits.head._1, hits.head._2) }.sortBy(_._1)
+      val gazDf = s.createDataFrame(gaz).toDF("pname", "plat", "plon")
+      val cent = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(((min("min_lon") + max("max_lon")) / 2).as("cx"),
+          ((min("min_lat") + max("max_lat")) / 2).as("cy"))
+      val w = Window.partitionBy("g").orderBy(
+        ((col("cx") - col("plon")) * (col("cx") - col("plon")) +
+          (col("cy") - col("plat")) * (col("cy") - col("plat"))).asc, col("pname").asc)
+      cent.crossJoin(broadcast(gazDf))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("g"), col("pname").as("placename"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -810,6 +846,46 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q49_raster_tile_bridge" -> (EXT +
+      s""", e AS (SELECT d, min_lon, min_lat, max_lon, max_lat,
+  CAST(floor((min_lon+180.0)/360.0*64.0) AS BIGINT) AS tx0,
+  CAST(floor((max_lon+180.0)/360.0*64.0) AS BIGINT) AS tx1,
+  ${MERC64.format("max_lat", "max_lat")} AS ty0,
+  ${MERC64.format("min_lat", "min_lat")} AS ty1
+  FROM ext WHERE min_lon IS NOT NULL),
+a AS (SELECT d, gx.tx, gy.ty FROM e, LATERAL unnest(generate_series(tx0, tx1)) AS gx(tx), LATERAL unnest(generate_series(ty0, ty1)) AS gy(ty)),
+pt AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS cnt FROM a GROUP BY 1, 2),
+rx AS (SELECT p_partkey AS raster_id,
+  CAST(((p_partkey*11) % 300) - 150 AS DOUBLE) AS gt0,
+  CAST(((p_partkey*13) % 140) - 70 AS DOUBLE) AS gt3,
+  (64 + (p_partkey % 5)*32) AS width, (64 + (p_partkey % 7)*32) AS height FROM part),
+re AS (SELECT raster_id,
+  least(gt0, gt0 + width*0.03125) AS min_lon,
+  least(gt3, gt3 + height*(-0.015625)) AS min_lat,
+  greatest(gt0, gt0 + width*0.03125) AS max_lon,
+  greatest(gt3, gt3 + height*(-0.015625)) AS max_lat FROM rx),
+rt AS (SELECT raster_id, gx.tx, gy.ty FROM (
+  SELECT raster_id,
+    CAST(floor((min_lon+180.0)/360.0*64.0) AS BIGINT) AS tx0,
+    CAST(floor((max_lon+180.0)/360.0*64.0) AS BIGINT) AS tx1,
+    ${MERC64.format("max_lat", "max_lat")} AS ty0,
+    ${MERC64.format("min_lat", "min_lat")} AS ty1 FROM re) r,
+  LATERAL unnest(generate_series(tx0, tx1)) AS gx(tx), LATERAL unnest(generate_series(ty0, ty1)) AS gy(ty))
+SELECT rt.raster_id, CAST(count(*) AS BIGINT) AS n_tiles_hit, CAST(sum(pt.cnt) AS BIGINT) AS n_pages
+FROM rt JOIN pt ON pt.tx = rt.tx AND pt.ty = rt.ty GROUP BY 1"""),
+
+    "q50_placename" -> (EXT +
+      """, cent AS (SELECT (d % 97) AS g, (min(min_lon)+max(max_lon))/2 AS cx, (min(min_lat)+max(max_lat))/2 AS cy
+FROM ext WHERE min_lon IS NOT NULL GROUP BY 1),
+gaz(pname, plat, plon) AS (VALUES
+  ('Amsterdam', 52.375, 4.875), ('Barcelona', 41.375, 2.125), ('Berlin', 52.5, 13.375),
+  ('Cambridge', 52.25, 0.125), ('Lisbon', 38.75, -9.125), ('London', 51.5, -0.125),
+  ('Madrid', 40.5, -3.625), ('Muenster', 51.9625, 7.625), ('Paris', 48.875, 2.375),
+  ('Rome', 41.875, 12.5), ('Springfield', 39.75, -89.625), ('Vienna', 48.25, 16.375)),
+r AS (SELECT g, pname, row_number() OVER (PARTITION BY g ORDER BY
+  (cx - plon)*(cx - plon) + (cy - plat)*(cy - plat), pname) AS rk FROM cent, gaz)
+SELECT g, pname AS placename FROM r WHERE rk = 1"""),
 
     "q48_knn_big" -> (EXT +
       """, c AS (SELECT d, (min_lon+max_lon)/2 AS lon, (min_lat+max_lat)/2 AS lat FROM ext WHERE min_lon IS NOT NULL),
