@@ -18,12 +18,25 @@ object Snapshots {
   def write(df: DataFrame, path: String, stage: String): Unit = {
     val out = df.cache()
     out.write.mode("overwrite").parquet(path)
-    val parts = out.groupBy(spark_partition_id().as("partition")).agg(count(lit(1)).as("rows"))
-      .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+    // per-partition lineage: row counts always; extent metrics whenever the
+    // stage carries bbox columns (min/max per partition — the Iceberg
+    // column-stats analog, enabling partition pruning decisions on resume)
+    val hasExtent = Seq("min_lon", "min_lat", "max_lon", "max_lat").forall(out.columns.contains)
+    val parts =
+      if (hasExtent)
+        out.groupBy(spark_partition_id().as("partition")).agg(count(lit(1)).as("rows"),
+            min("min_lon"), min("min_lat"), max("max_lon"), max("max_lat"))
+          .collect().map(r =>
+            s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)},""" +
+              s""""extent":[${r.get(2)},${r.get(3)},${r.get(4)},${r.get(5)}]}""")
+      else
+        out.groupBy(spark_partition_id().as("partition")).agg(count(lit(1)).as("rows"))
+          .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
     val total = out.count()
     out.unpersist()
+    val cols = out.columns.map(c => "\"" + c + "\"").mkString(",")
     val manifest =
-      s"""{"stage":"$stage","total_rows":$total,"partitions":[${parts.mkString(",")}]}"""
+      s"""{"stage":"$stage","total_rows":$total,"columns":[$cols],"partitions":[${parts.mkString(",")}]}"""
     Files.writeString(Paths.get(path, "_graft_manifest.json"), manifest)
   }
 

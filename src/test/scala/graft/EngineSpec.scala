@@ -67,6 +67,13 @@ class EngineSpec extends AnyFunSuite {
     // manifest carries per-partition lineage
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/stage1", "_graft_manifest.json"))
     assert(manifest.contains("\"total_rows\"") && manifest.contains("\"partitions\""))
+    // a stage with bbox columns also records per-partition extent metrics
+    val e = operators.Extractor.extract(table.Pages.pages(spark, sf)).toDF()
+      .filter(col("min_lon").isNotNull)
+      .select("d", "min_lon", "min_lat", "max_lon", "max_lat")
+    table.Snapshots.write(e, s"$dir/stage2", "extents")
+    val m2 = Files.readString(java.nio.file.Paths.get(s"$dir/stage2", "_graft_manifest.json"))
+    assert(m2.contains("\"extent\":[") && m2.contains("\"columns\""))
   }
 
   test("structured-streaming window agg matches the batch q27 result") {
