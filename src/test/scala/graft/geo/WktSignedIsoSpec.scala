@@ -70,4 +70,25 @@ class WktSignedIsoSpec extends AnyFunSuite {
     val (s, e) = graft.parse.TextGeo.periods("Holocene")
     assert(s === "-9750-01-01" && e === "1950-01-01")
   }
+
+  test("geojson.io URL sink: fragment round-trips the FeatureCollection with inputs (reference help_functions_test.py:130-180)") {
+    val e = Extent(-74.0059, 40.7128, -73.9352, 40.7589)
+    val url = Wkt.geojsonIoUrl(e, Seq("tests/testdata/geojson/muenster_ring_zeit.geojson")).get
+    assert(url.startsWith("https://geojson.io/#data=data:application/json,"))
+    val frag = url.split("data=data:application/json,")(1)
+    val json = java.net.URLDecoder.decode(frag, "UTF-8")
+    val node = graft.parse.GeoJson.parseJson(json).get
+    val feat = node.get("features").get(0)
+    assert(feat.get("properties").get("inputs").get(0).asText()
+      === "tests/testdata/geojson/muenster_ring_zeit.geojson")
+    // geometry envelope round-trips to the extent
+    assert(graft.geo.Geo.envelope({
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      graft.parse.GeoJson.collectCoords(feat, b); b.toArray
+    }).get === Extent(-74.005900, 40.712800, -73.935200, 40.758900))
+    // no inputs → no inputs key
+    val u2 = Wkt.geojsonIoUrl(e).get
+    val j2 = java.net.URLDecoder.decode(u2.split("data=data:application/json,")(1), "UTF-8")
+    assert(!j2.contains("inputs"))
+  }
 }
