@@ -140,10 +140,13 @@ object Ann {
 
   /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
     * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
-    * inside the candidate set.
+    * inside the candidate set. `multiprobe` ≥ 1 additionally probes every
+    * Hamming-1 neighbor bucket — PROBE-side only, so the corpus index stays
+    * one bucket per table (the standard multiprobe trade: ×(bits+1) probe
+    * lookups buy large recall without any index growth).
     */
   def lshTopK(vectors: DataFrame, probes: DataFrame, k: Int,
-              tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+              tables: Int = 4, bitsPerTable: Int = 8, multiprobe: Int = 1): DataFrame = {
     val numPlanes = tables * bitsPerTable
     def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
@@ -152,8 +155,12 @@ object Ann {
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("_bits"), t * bitsPerTable)
               .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
+    val flipUdf = udf((bucket: Long) =>
+      if (multiprobe <= 0) Array(bucket)
+      else bucket +: (0 until bitsPerTable).map(i => bucket ^ (1L << i)).toArray)
     val v = withBuckets(vectors, "nid", "v")
     val p = withBuckets(probes, "pid", "p")
+      .withColumn("_bucket", explode(flipUdf(col("_bucket"))))
     // score per bucket collision, then hash-aggregate by (pid, nid): a
     // dropDuplicates carrying both embedding arrays would fall back to
     // SortAggregate (array agg buffers aren't hash-mutable) — a full sort of
