@@ -101,4 +101,28 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
     assert(uncapped.count { case (a, b) => a < 80 && b < 80 } > 3000)
   }
+
+  test("groupedSizeSelect: groups are atomic, limit respected, strategies order correctly") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 100L).map(i => (i, 100L + (i % 7) * 50L)).toDF("doc_id", "n_chars")
+    for (strategy <- Seq("ordered", "random", "smallest", "largest")) {
+      val sel = TextOps.groupedSizeSelect(docs, "n_chars", floor(col("doc_id") / 10).cast("long"),
+        strategy, 3000L).collect()
+      // atomicity: every selected group is complete (10 members)
+      val byGroup = sel.groupBy(_.getAs[Long]("grp")).view.mapValues(_.length).toMap
+      assert(byGroup.values.forall(_ === 10), s"$strategy split a group: $byGroup")
+      // the running group cumsum never exceeds the limit
+      assert(sel.forall(_.getAs[Long]("grp_cum") <= 3000L))
+      assert(sel.nonEmpty, s"$strategy selected nothing")
+    }
+    // smallest picks the lightest groups first; largest the heaviest
+    def groupsOf(strategy: String): Set[Long] =
+      TextOps.groupedSizeSelect(docs, "n_chars", floor(col("doc_id") / 10).cast("long"),
+        strategy, 3000L).select("grp").distinct().as[Long].collect().toSet
+    val sizes = docs.withColumn("g", floor(col("doc_id") / 10).cast("long"))
+      .groupBy("g").agg(sum("n_chars").as("s")).as[(Long, Long)].collect().toMap
+    val small = groupsOf("smallest"); val large = groupsOf("largest")
+    assert(small.map(sizes).max <= (sizes.keySet -- small).map(sizes).min)
+    assert(large.map(sizes).min >= (sizes.keySet -- large).map(sizes).max)
+  }
 }
