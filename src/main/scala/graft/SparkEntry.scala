@@ -384,6 +384,14 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feature_sum"))),
 
+    // multimodal metadata surface (closed-form kind/dims/sizes — the decode
+    // kernels stay stubs, but the table contract itself is oracle-checked)
+    "q51_media_meta" -> ((s, dir) =>
+      graft.multimodal.Media.media(s, dir).toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          length(col("bytes")).cast("long").as("n_bytes"), col("format"))),
+
     // R4 hierarchy rollup: multi-level merge in one pass (cube/rollup built-in)
     "q40_rollup" -> ((s, dir) =>
       extracted(s, dir)
@@ -846,6 +854,15 @@ FROM supplier""",
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_start,
   strftime(CAST((2018 + s_suppkey % 5) || '-01-01' AS DATE) + CAST(s_suppkey % 300 AS INTEGER), '%Y-%m-%d') AS tbox_end
 FROM supplier WHERE s_suppkey % 10 <> 0""",
+
+    "q51_media_meta" ->
+      """SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(16 + (doc_id % 8) * 16 AS BIGINT) AS width,
+  CAST(16 + (doc_id % 5) * 16 AS BIGINT) AS height,
+  CAST(256 + (doc_id % 7) * 128 AS BIGINT) AS n_bytes,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+FROM documents""",
 
     "q49_raster_tile_bridge" -> (EXT +
       s""", e AS (SELECT d, min_lon, min_lat, max_lon, max_lat,
