@@ -213,7 +213,14 @@ object Bench {
     // level's min is still noise-inflated, not that the engine scales >4× —
     // so score such a pair down symmetrically instead of rewarding it
     def score(p: (Int, Int)): Double = { val e = effOf(p); if (e > 1.05) 2.1 - e else e }
-    def bestPair: (Int, Int) = if (measuredPairs.isEmpty) primary else measuredPairs.maxBy(score)
+    def bestPair: (Int, Int) = {
+      // prefer pairs with the 2-sample minimum per level (a min over one
+      // sample is not an estimator); fall back to any measured pair
+      val solid = measuredPairs.filter(p =>
+        times(p._1).size >= 2 && times(p._2).size >= 2)
+      val pool = if (solid.nonEmpty) solid else measuredPairs
+      if (pool.isEmpty) primary else pool.maxBy(score)
+    }
     def runsJson: String =
       times.toSeq.sortBy(_._1).map { case (n, ts) =>
         s""""t$n":${ts.map(v => f"$v%.2f").mkString("[", ",", "]")}"""
