@@ -244,8 +244,9 @@ object Bench {
     // more rounds only improve the min-of-k estimate); lower pairs join in
     // from rounds 1 and 2 while the bar is unmet. Levels shared between pairs
     // (e.g. 8 in both (8,32) and (2,8)) are measured once per round.
-    // Phase 2 needs ~60 s of the deadline.
-    val phase1Budget = deadlineSec - 160
+    // Phase 2 needs ~45-60 s of the deadline (the watchdog still guarantees a
+    // parseable line if a load spike blows the margin).
+    val phase1Budget = deadlineSec - 110
     // cleared = some pair has at least TWO samples per level (a min over one
     // sample is not an estimator) and a plausible efficiency in [0.8, 1.05]
     def cleared: Boolean = pairsToTry.exists { p =>
