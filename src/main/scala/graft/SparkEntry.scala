@@ -377,15 +377,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("cum_size"))
     }),
 
-    // multimodal: binary media columns → batched stubbed decode → features
-    // (rows-only: bytes are engine-synthesized; plumbing locked by tests)
+    // multimodal: binary media columns → batched REAL decode (JDK PNG codec,
+    // WAV PCM16 parse, frame-container demux) → pooled feature statistics.
+    // Pixel/sample content is closed-form, so the oracle recomputes every
+    // feature sum exactly — a true encode→decode→pool end-to-end check.
     "q39_media_features" -> ((s, dir) =>
       graft.multimodal.Media.featureTable(s, dir)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 3).as("feature_sum"))),
+          aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feature_sum"))),
 
-    // multimodal metadata surface (closed-form kind/dims/sizes — the decode
-    // kernels stay stubs, but the table contract itself is oracle-checked)
+    // multimodal metadata surface: kind/dims/encoded sizes, all closed-form
+    // (PNG stored-deflate size = 68 + h*(w+1); WAV = 44 + 2n; GFV0 = 8 + 344·nf)
     "q51_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.media(s, dir).toDF()
         .select(col("media_id"), col("kind"),
@@ -858,11 +860,43 @@ FROM supplier WHERE s_suppkey % 10 <> 0""",
     "q51_media_meta" ->
       """SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(16 + (doc_id % 8) * 16 AS BIGINT) AS width,
-  CAST(16 + (doc_id % 5) * 16 AS BIGINT) AS height,
-  CAST(256 + (doc_id % 7) * 128 AS BIGINT) AS n_bytes,
-  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 8) * 16 WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS width,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id % 5) * 16 WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS height,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN 68 + (16 + (doc_id % 5) * 16) * (16 + (doc_id % 8) * 16 + 1)
+    WHEN 1 THEN 44 + 2 * (256 + (doc_id % 7) * 128)
+    ELSE 8 + 344 * (2 + doc_id % 4) END AS BIGINT) AS n_bytes,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gfv' END AS format
 FROM documents""",
+
+    "q39_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k3,
+  16 + (doc_id % 8) * 16 AS w, 16 + (doc_id % 5) * 16 AS h,
+  256 + (doc_id % 7) * 128 AS n, 2 + (doc_id % 4) AS nf FROM documents),
+ip AS (SELECT media_id, w, h, (gx.x + 3*gy.y + media_id) % 256 AS p
+  FROM m, LATERAL unnest(generate_series(0, w-1)) AS gx(x),
+          LATERAL unnest(generate_series(0, h-1)) AS gy(y)
+  WHERE k3 = 0),
+img AS (SELECT media_id, 'image' AS kind,
+  CAST(68 + max(h)*(max(w)+1) AS BIGINT) AS n_bytes,
+  CAST(sum(p) + min(p) + max(p) + max(w) + max(h) AS DOUBLE) AS feature_sum
+  FROM ip GROUP BY 1),
+ap AS (SELECT media_id, n, ((g.i*37 + media_id*11) % 65536) - 32768 AS s
+  FROM m, LATERAL unnest(generate_series(0, n-1)) AS g(i) WHERE k3 = 1),
+aud AS (SELECT media_id, 'audio' AS kind,
+  CAST(44 + 2*max(n) AS BIGINT) AS n_bytes,
+  CAST(sum(s) + min(s) + max(s) + max(n) + 8000 AS DOUBLE) AS feature_sum
+  FROM ap GROUP BY 1),
+vp AS (SELECT media_id, nf, (gx.x + 3*gy.y + 7*gf.f + media_id) % 256 AS p
+  FROM m, LATERAL unnest(generate_series(0, nf-1, 2)) AS gf(f),
+          LATERAL unnest(generate_series(0, 15)) AS gx(x),
+          LATERAL unnest(generate_series(0, 15)) AS gy(y)
+  WHERE k3 = 2),
+vid AS (SELECT media_id, 'video' AS kind,
+  CAST(8 + 344*max(nf) AS BIGINT) AS n_bytes,
+  CAST(max(nf) + sum(p) + min(p) + max(p) + ((max(nf)+1)//2) AS DOUBLE) AS feature_sum
+  FROM vp GROUP BY 1)
+SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid""",
 
     "q49_raster_tile_bridge" -> (EXT +
       s""", e AS (SELECT d, min_lon, min_lat, max_lon, max_lat,

@@ -12,7 +12,7 @@ class ModulesSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  test("media: deterministic bytes, batched feature extraction shape") {
+  test("media: deterministic REAL payloads, batched decode feature extraction") {
     val m = multimodal.Media.media(spark, sf).cache()
     try {
       val rows = m.collect()
@@ -22,19 +22,58 @@ class ModulesSpec extends AnyFunSuite {
       val again = multimodal.Media.media(spark, sf).collect()
       assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id))
         .forall { case (a, b) => java.util.Arrays.equals(a.bytes, b.bytes) })
-      val feats = multimodal.Media.extractFeatures(m, dim = 16).collect()
-      assert(feats.forall(_.features.length === 16))
-      assert(feats.forall(f => f.features.exists(_ != 0.0f)))
-      // stub decode is a pure function of bytes
-      val f0 = multimodal.Media.decodeImageStub(rows.head.bytes, 16)
-      assert(feats.find(_.media_id == rows.head.media_id).get.features.toList === f0.toList)
+      // closed-form encoded sizes (the q51 contract)
+      for (r <- rows) r.kind match {
+        case "image" => assert(r.bytes.length === 68 + r.height * (r.width + 1))
+        case "audio" => assert(r.bytes.length === 44 + 2 * multimodal.Media.audioSamples(r.media_id))
+        case _       => assert(r.bytes.length === 8 + 344 * multimodal.Media.videoFrames(r.media_id))
+      }
+      val feats = multimodal.Media.extractFeatures(m).collect()
+      assert(feats.forall(_.features.length === 5))
+      // decode is a pure function of bytes
+      val r0 = rows.head
+      val f0 = multimodal.Media.decodeFeatures(r0.kind, r0.bytes)
+      assert(feats.find(_.media_id == r0.media_id).get.features.toList === f0.toList)
     } finally m.unpersist()
   }
 
-  test("media: resize/frame-sample stubs keep plumbing contracts") {
-    val row = multimodal.Media.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4, 5, 6), 32, 32, "png")
-    assert(multimodal.Media.resizeStub(row, 8, 8).width === 8)
-    assert(multimodal.Media.sampleFrameOffsetsStub(row.bytes, 2).toList === List(0, 2, 4))
+  test("media: PNG encode decodes via the real JDK codec with exact pixels") {
+    val w = 5; val h = 3
+    val png = multimodal.Media.encodePngGray(w, h, (x, y) => (x * 40 + y * 7) % 256)
+    assert(png.length === 68 + h * (w + 1))
+    val img = multimodal.Media.decodePng(png)
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) === (x * 40 + y * 7) % 256)
+    val f = multimodal.Media.imageFeatures(png)
+    val vals = for (y <- 0 until h; x <- 0 until w) yield (x * 40 + y * 7) % 256
+    assert(f.toList === List(vals.sum.toDouble, vals.min.toDouble, vals.max.toDouble, w.toDouble, h.toDouble))
+  }
+
+  test("media: real resize (decode → nearest-neighbor → re-encode)") {
+    val row = multimodal.Media.MediaRow(1L, "image",
+      multimodal.Media.encodePngGray(32, 32, (x, y) => (x + y) % 256), 32, 32, "png")
+    val small = multimodal.Media.resize(row, 8, 8)
+    assert(small.width === 8 && small.height === 8)
+    val img = multimodal.Media.decodePng(small.bytes)
+    assert(img.getWidth === 8)
+    // nearest-neighbor: output (x,y) samples source (4x, 4y)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(img.getRaster.getSample(x, y, 0) === (4 * x + 4 * y) % 256)
+  }
+
+  test("media: WAV round-trip and GFV0 frame sampling") {
+    val samples = Array.tabulate(100)(i => (i * 300 - 15000).toShort)
+    val wav = multimodal.Media.encodeWav(8000, samples)
+    assert(wav.length === 44 + 200)
+    val f = multimodal.Media.wavFeatures(wav)
+    assert(f.toList === List(samples.map(_.toDouble).sum, -15000.0, samples.last.toDouble, 100.0, 8000.0))
+    val frames = Array.tabulate(5)(k => multimodal.Media.encodePngGray(4, 4, (x, y) => (x + y + k) % 256))
+    val vid = multimodal.Media.encodeVideo(frames)
+    val (n, sampled) = multimodal.Media.sampleFrameOffsets(vid, 2)
+    assert(n === 5 && sampled.length === 3) // frames 0, 2, 4
+    val frame2 = java.util.Arrays.copyOfRange(vid, sampled(1)._1, sampled(1)._1 + sampled(1)._2)
+    assert(multimodal.Media.decodePng(frame2).getRaster.getSample(0, 0, 0) === 2)
   }
 
   test("sessionization: gap splitting and aggregation (batch mode)") {
