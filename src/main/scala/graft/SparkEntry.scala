@@ -47,10 +47,13 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Dedup-target corpus: the documents table plus closed-form planted
-    * duplicates — exact copies for every doc_id % 20 == 0 (id + 1000000) and
+    * duplicates — exact copies for every doc_id % 20 == 0 (id + 1000000),
     * near-duplicates (a fixed trailer appended) for doc_id % 25 == 0
-    * (id + 2000000). Mirrored verbatim in the DUP oracle CTE so the dedup
-    * operators are checked against group structure that actually exists.
+    * (id + 2000000), and repetition near-duplicates (text doubled — SimHash
+    * is sign-invariant under token-count scaling, so these have Hamming
+    * distance 0 by construction) for doc_id % 25 == 5 (id + 3000000).
+    * Mirrored verbatim in the DUP oracle CTE so the dedup operators are
+    * checked against group structure that actually exists.
     */
   private def docsDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -59,7 +62,10 @@ object SparkEntry {
     val near = d.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" near duplicate variant trailer token")).as("text"))
-    d.unionByName(exact).unionByName(near)
+    val rep = d.filter(col("doc_id") % 25 === 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    d.unionByName(exact).unionByName(near).unionByName(rep)
   }
 
   /** Oracle mirror of [[docsDup]]. */
@@ -68,6 +74,7 @@ object SparkEntry {
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
   UNION ALL SELECT doc_id + 2000000, text || ' near duplicate variant trailer token' FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT doc_id + 3000000, text || ' ' || text FROM documents WHERE doc_id % 25 = 5
 )
 """
 
@@ -248,15 +255,41 @@ object SparkEntry {
         .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
     }),
 
-    // dedup: MinHash-LSH candidate pairs over the planted-dup corpus
-    // (rows-only: MinHash isn't SQL-expressible; planted-pair recall is
-    // locked by DedupSpec)
-    "q23_minhash_pairs" -> ((s, dir) =>
-      TextOps.minhashCandidatePairs(docsDup(s, dir))),
+    // dedup: MinHash-LSH over the planted-dup corpus, CONTAINMENT-checked —
+    // output = (emitted ∩ planted pairs, labeled) ∪ (any emitted pair whose
+    // DuckDB-recomputable exact Jaccard is below 0.5, labeled 'lowsim').
+    // Oracle-green iff (a) every planted near pair is emitted, (b) planted
+    // exact pairs are NOT emitted (pre-collapsed into exactDupGroups' domain),
+    // (c) no essentially-dissimilar pair is emitted (natural candidates
+    // measure ≥0.74 true Jaccard). Raw candidate behavior stays in DedupSpec.
+    "q23_minhash_pairs" -> ((s, dir) => {
+      val emitted = TextOps.minhashCandidatePairs(docsDup(s, dir)).select("doc_a", "doc_b")
+      val base = docs(s, dir).select("doc_id")
+      val planted = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
+        .unionByName(base.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"), lit("near").as("kind")))
+      val contained = emitted.join(planted, Seq("doc_a", "doc_b")).select("doc_a", "doc_b", "kind")
+      val lowsim = TextOps.exactJaccard(emitted, docsDup(s, dir))
+        .filter(col("jaccard") < 0.5)
+        .select(col("doc_a"), col("doc_b"), lit("lowsim").as("kind"))
+      contained.unionByName(lowsim)
+    }),
 
-    // dedup: SimHash near-dup pairs (rows-only; planted-pair recall in DedupSpec)
-    "q24_simhash_pairs" -> ((s, dir) =>
-      TextOps.simhashCandidatePairs(docsDup(s, dir))),
+    // dedup: SimHash near-dup pairs, CONTAINMENT-checked against the planted
+    // repetition pairs (doubled text ⇒ identical SimHash ⇒ guaranteed
+    // candidate+emission) — trailer-near pairs flip too many sign margins for
+    // a Hamming≤3 guarantee and stay a DedupSpec recall property instead.
+    // Also asserts exact pairs are absent (pre-collapse contract).
+    "q24_simhash_pairs" -> ((s, dir) => {
+      val emitted = TextOps.simhashCandidatePairs(docsDup(s, dir)).select("doc_a", "doc_b")
+      val base = docs(s, dir).select("doc_id")
+      val planted = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
+        .unionByName(base.filter(col("doc_id") % 25 === 5)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 3000000L).as("doc_b"), lit("rep").as("kind")))
+      emitted.join(planted, Seq("doc_a", "doc_b")).select("doc_a", "doc_b", "kind")
+    }),
 
     // dedup: exact n-gram Jaccard over a closed-form candidate-pair set
     // (planted exact-dup pairs → 1.0, near-dup pairs → high, shifted control
@@ -409,10 +442,23 @@ object SparkEntry {
     "q42_pointcloud_tbox" -> ((s, dir) =>
       graft.table.PointCloudTable.tboxes(graft.table.PointCloudTable.headers(s, dir))),
 
-    // dedup: embedding-cosine near-dup pairs via LSH buckets (rows-only)
-    "q43_embed_neardup" -> ((s, dir) =>
-      Ann.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.15)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))),
+    // dedup: embedding-cosine near-dup pairs via LSH buckets, CONTAINMENT-
+    // checked: identical embeddings are planted (vec_id+1000000 clones for
+    // vec_id % 20 == 0), which share every sign bucket by construction, so
+    // the oracle asserts all planted clone pairs are emitted with cosine 1.0
+    // (the emitted set's ≥threshold floor is structural — cosineNearDupPairs
+    // re-checks exact cosine before emitting).
+    "q43_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val embDup = emb.select("vec_id", "embedding")
+        .unionByName(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val planted = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("vec_a"), (col("vec_id") + 1000000L).as("vec_b"))
+      Ann.cosineNearDupPairs(embDup, threshold = 0.15)
+        .join(planted, Seq("vec_a", "vec_b"))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+    }),
 
     // J3 at corpus scale on BOTH sides: kNN with a large DataFrame query set
     // (every k=7 point page probes the whole corpus; queries include
@@ -482,6 +528,53 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("g"), col("pname").as("placename"))
+    }),
+
+    // R2 hull MERGE with a closed-form oracle: the hot-cell pages (d%100>=80,
+    // north_rule skew cluster) all carry the same rect (7.5,51.5)-(8.5,52.0)
+    // — k≤6 payloads as its 4-corner hull, k=7 points as its SW corner — so
+    // every group's merged hull is exactly that rect: 4 vertices, area 0.5,
+    // canonical CCW ring starting at the lexicographic min. A true
+    // multi-member merge (rect hulls + degenerate point hulls) the oracle can
+    // recompute; the general data-dependent case stays rows-only in q11.
+    "q52_hull_merge_rect" -> ((s, dir) => {
+      val areaUdf = udf((ring: Seq[Double]) => {
+        val pts = ring.grouped(2).map(p => (p(0), p(1))).toArray
+        graft.geo.Geo.ringArea(pts)
+      })
+      extracted(s, dir)
+        .filter(col("min_lon").isNotNull && col("d") % 100 >= 80 && col("d") % 10 <= 7)
+        .groupBy((col("d") % 97).as("g"))
+        .agg(count(lit(1)).as("n_pages"), Aggregators.hullMerge(col("hull")).as("hull"))
+        .select(col("g"), col("n_pages"),
+          (size(col("hull")) / 2).cast("long").as("n_vertices"),
+          areaUdf(col("hull")).as("area"),
+          element_at(col("hull"), 1).as("h_lon0"), element_at(col("hull"), 2).as("h_lat0"))
+    }),
+
+    // reference two-source preference (extent.py:1881-1999): per page, the
+    // payload-extraction extent wins; the landing-page-metadata extent is the
+    // fallback — both sides genuinely attempted per row, then coalesced.
+    "q53_extent_coalesce" -> ((s, dir) => {
+      import graft.parse.Extract
+      val payloadUdf = udf((html: Array[Byte], text: String, lang: String) => {
+        val r = Extract.extractPayloadOnly(html, text, lang)
+        (r.minLon, r.minLat, r.maxLon, r.maxLat)
+      })
+      val metaUdf = udf((html: Array[Byte]) => {
+        val r = Extract.extractMetaOnly(html)
+        (r.minLon, r.minLat, r.maxLon, r.maxLat)
+      })
+      Pages.pages(s, dir)
+        .select(col("d"), payloadUdf(col("html"), col("text"), col("lang")).as("p"),
+          metaUdf(col("html")).as("m"))
+        .select(col("d").as("doc_id"),
+          coalesce(col("p._1"), col("m._1")).as("min_lon"),
+          coalesce(col("p._2"), col("m._2")).as("min_lat"),
+          coalesce(col("p._3"), col("m._3")).as("max_lon"),
+          coalesce(col("p._4"), col("m._4")).as("max_lat"),
+          when(col("p._1").isNotNull, "payload")
+            .when(col("m._1").isNotNull, "metadata").as("source"))
     }),
 
     // P3 per-payload convex hull from the payload's actual geometry vertices
@@ -666,6 +759,29 @@ JOIN cnt cb ON cb.doc_id = p.doc_b"""),
 
     "q18_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 15) AS fp_hex FROM documents",
+
+    // containment contract: every planted trailer-near pair must be emitted,
+    // no planted exact pair may be (pre-collapsed), and no emitted pair may
+    // fall below the 0.5 true-Jaccard floor (any violation adds a row the
+    // oracle doesn't have)
+    "q23_minhash_pairs" ->
+      "SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b, 'near' AS kind FROM documents WHERE doc_id % 25 = 0",
+
+    "q24_simhash_pairs" ->
+      "SELECT doc_id AS doc_a, doc_id + 3000000 AS doc_b, 'rep' AS kind FROM documents WHERE doc_id % 25 = 5",
+
+    "q43_embed_neardup" ->
+      "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, CAST(1.0 AS DOUBLE) AS cos FROM embeddings WHERE vec_id % 20 = 0",
+
+    "q52_hull_merge_rect" -> (EXT +
+      """SELECT (d % 97) AS g, CAST(count(*) AS BIGINT) AS n_pages,
+CAST(4 AS BIGINT) AS n_vertices, 0.5 AS area, 7.5 AS h_lon0, 51.5 AS h_lat0
+FROM ext WHERE min_lon IS NOT NULL AND (d % 100) >= 80 AND k <= 7 GROUP BY 1"""),
+
+    "q53_extent_coalesce" -> (EXT +
+      """SELECT d AS doc_id, min_lon, min_lat, max_lon, max_lat,
+CASE WHEN min_lon IS NULL THEN NULL WHEN k IN (5,6,7) THEN 'metadata' ELSE 'payload' END AS source
+FROM ext"""),
 
     "q19_quality" ->
       """SELECT doc_id,

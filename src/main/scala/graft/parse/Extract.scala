@@ -62,7 +62,33 @@ object Extract {
       t.map(_._1), t.map(_._2), src, crs, g.map(hullOf(verts, _)))
   }
 
-  def extract(htmlBytes: Array[Byte], text: String, lang: String): ExtractOut = {
+  /** Payload-source-only extraction: the full dispatch chain MINUS the HTML
+    * landing-page metadata handler — the "download the resource" side of the
+    * reference's two-source preference (reference: extent.py:1881-1999, where
+    * the remote path extracts from the downloaded payload first and falls back
+    * to landing-page metadata). Pairs with [[extractMetaOnly]] under a
+    * per-row coalesce (SparkEntry q53).
+    */
+  def extractPayloadOnly(htmlBytes: Array[Byte], text: String, lang: String): ExtractOut =
+    extract(htmlBytes, text, lang, useHtmlMeta = false)
+
+  /** Metadata-source-only extraction: the HTML landing-page handler alone
+    * (same plausibility/null-island gates as the full chain).
+    */
+  def extractMetaOnly(htmlBytes: Array[Byte]): ExtractOut = {
+    if (htmlBytes == null || htmlBytes.isEmpty) return none
+    val payload = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (!HtmlMeta.looksLikeHtml(payload)) return none
+    val r = HtmlMeta.extract(payload)
+    if (r.extent.isDefined || r.tbox.isDefined) out("html", r.extent, r.tbox, r.spatialSource)
+    else none
+  }
+
+  def extract(htmlBytes: Array[Byte], text: String, lang: String): ExtractOut =
+    extract(htmlBytes, text, lang, useHtmlMeta = true)
+
+  private def extract(htmlBytes: Array[Byte], text: String, lang: String,
+                      useHtmlMeta: Boolean): ExtractOut = {
     val payload =
       if (htmlBytes != null && htmlBytes.nonEmpty) new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
       else if (text != null) text
@@ -103,7 +129,7 @@ object Extract {
       return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)
     }
     // 3. HTML landing-page metadata
-    if (HtmlMeta.looksLikeHtml(payload)) {
+    if (useHtmlMeta && HtmlMeta.looksLikeHtml(payload)) {
       val r = HtmlMeta.extract(payload)
       if (r.extent.isDefined || r.tbox.isDefined)
         return out("html", r.extent, r.tbox, r.spatialSource)
