@@ -138,4 +138,33 @@ object Geo {
     Extent(lonToMercX(e.minLon), latToMercY(e.minLat), lonToMercX(e.maxLon), latToMercY(e.maxLat))
   def extentFromMercator(e: Extent): Extent =
     Extent(mercXToLon(e.minLon), mercYToLat(e.minLat), mercXToLon(e.maxLon), mercYToLat(e.maxLat))
+
+  /** Quantize a reprojected coordinate to the 2^-20-degree grid (~0.1 m at the
+    * equator — beneath any reprojection's physical precision). The scale is a
+    * power of two, so the snap is exact binary arithmetic: a forward+inverse
+    * Mercator round trip (a few ulp of transcendental error) lands back on the
+    * source coordinate exactly whenever that coordinate sits on the grid,
+    * making transformed extents reproducible across engines and libms.
+    */
+  def snapDeg(x: Double): Double = math.rint(x * 1048576.0) / 1048576.0
+
+  /** EPSG:3857 → WGS84 for a flat interleaved [x,y,…] meter array, grid-snapped. */
+  def mercArrayToWgs84(coords: Array[Double]): Array[Double] = {
+    if (coords == null) return coords
+    val out = new Array[Double](coords.length)
+    var i = 0
+    while (i + 1 < coords.length) {
+      out(i) = snapDeg(mercXToLon(coords(i)))
+      out(i + 1) = snapDeg(mercYToLat(coords(i + 1)))
+      i += 2
+    }
+    out
+  }
+
+  /** EPSG:3857 → WGS84 extent (Mercator is monotone per axis, so corners map
+    * to corners), grid-snapped.
+    */
+  def mercExtentToWgs84(e: Extent): Extent =
+    Extent(snapDeg(mercXToLon(e.minLon)), snapDeg(mercYToLat(e.minLat)),
+      snapDeg(mercXToLon(e.maxLon)), snapDeg(mercYToLat(e.maxLat)))
 }

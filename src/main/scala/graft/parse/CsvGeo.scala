@@ -108,11 +108,21 @@ object CsvGeo {
     parseCsv(payload).map { case (header, rows) => extractParsed(header, rows) }
 
   private def extractParsed(header: Array[String], rows: Array[Array[String]]): CsvResult = {
-    val (extent, verts) = extractExtent(header, rows)
+    val (extent0, verts0) = extractExtent(header, rows)
     val tbox = extractTbox(header, rows)
-    val crs = findColumn(header, crsPatterns).flatMap { ci =>
+    val crsRaw = findColumn(header, crsPatterns).flatMap { ci =>
       rows.headOption.map(_.lift(ci).getOrElse("4326").trim)
     }.filter(_.nonEmpty).getOrElse("4326")
+    // CRS carry-through + transform: projected EPSG:3857 coordinates are
+    // reprojected to WGS84 (exact spherical inverse + 2^-20-degree grid snap,
+    // see graft.geo.Geo), mirroring the reference's to-4326 transform path
+    // (reference: geoextent/lib/handle_csv.py:311-312, helpfunctions.py:239-363);
+    // other CRSs pass through untransformed and face the plausibility gate.
+    val epsg = crsRaw.toUpperCase.stripPrefix("EPSG:")
+    val (extent, verts, crs) =
+      if (epsg == "3857")
+        (extent0.map(Geo.mercExtentToWgs84), Geo.mercArrayToWgs84(verts0), "4326")
+      else (extent0, verts0, crsRaw)
     CsvResult(extent.filter(Geo.plausibleWgs84), tbox, crs, verts)
   }
 

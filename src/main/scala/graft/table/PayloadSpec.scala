@@ -12,7 +12,9 @@ import java.time.LocalDate
   * expected values with plain SQL arithmetic.
   *
   * Payload families mirror the reference's fixture families (FIXTURES.md §1):
-  * k = d%10 → 0 geojson, 1 kml, 2 gpx, 3 csv lat/lon, 4 csv wkt/wkb geometry,
+  * k = d%10 → 0 geojson, 1 kml, 2 gpx, 3 csv lat/lon (EPSG:4326 for
+  * (d/10)%2==0, projected EPSG:3857 meters for (d/10)%2==1 — the parser must
+  * reproject), 4 csv wkt/wkb geometry,
   * 5 html JSON-LD GeoShape (+ decoy ICBM, exercises the priority ladder),
   * 6 html DC.box ((d/10)%2==0) or OJS DC.SpatialCoverage administrativeUnits
   * bbox ((d/10)%2==1, ladder step 7) + DC.temporal, 7 html ICBM/geo.position
@@ -82,7 +84,19 @@ object PayloadSpec {
           s"""<wpt lat="${n(y1)}" lon="${n(x1)}"></wpt><wpt lat="${n(y1)}" lon="${n(x0)}"></wpt></gpx>"""
       case 3 =>
         val ds = csvDateFmts(csvDateFmtIdx(d)).format(dateD(d))
-        s"""Latitude,Longitude,EPSG,Name,Date
+        if ((d / 10) % 2 == 1) {
+          // EPSG:3857 sub-family: the same corners as projected meters — the
+          // parser must reproject (exact inverse Mercator + grid snap) before
+          // the WGS84 gate; expected extent in EXT is unchanged (lon0..lat1)
+          def mx(v: Double) = n(graft.geo.Geo.lonToMercX(v))
+          def my(v: Double) = n(graft.geo.Geo.latToMercY(v))
+          s"""Latitude,Longitude,EPSG,Name,Date
+${my(y0)},${mx(x0)},3857,P0,$ds
+${my(y0)},${mx(x1)},3857,P1,$ds
+${my(y1)},${mx(x1)},3857,P2,$ds
+${my(y1)},${mx(x0)},3857,P3,$ds"""
+        } else
+          s"""Latitude,Longitude,EPSG,Name,Date
 ${n(y0)},${n(x0)},4326,P0,$ds
 ${n(y0)},${n(x1)},4326,P1,$ds
 ${n(y1)},${n(x1)},4326,P2,$ds

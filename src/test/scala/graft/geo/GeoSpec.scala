@@ -98,4 +98,18 @@ class GeoSpec extends AnyFunSuite {
       assert(math.abs(Geo.mercXToLon(Geo.lonToMercX(lon)) - lon) < 1e-9)
     }
   }
+
+  test("web-mercator roundtrip on the 2^-20 grid is EXACT after snap") {
+    // the 3857 payload-family contract: any grid coordinate survives a
+    // forward (generator) + inverse (parser) + snap trip bit-exactly
+    val r = rng
+    (1 to 2000).foreach { _ =>
+      val lat = math.rint((r.nextDouble() * 160 - 80) * 1048576.0) / 1048576.0
+      val lon = math.rint((r.nextDouble() * 360 - 180) * 1048576.0) / 1048576.0
+      assert(Geo.snapDeg(Geo.mercYToLat(Geo.latToMercY(lat))) === lat)
+      assert(Geo.snapDeg(Geo.mercXToLon(Geo.lonToMercX(lon))) === lon)
+    }
+    val e = Geo.mercExtentToWgs84(Geo.extentToMercator(Extent(-3.625, 40.5, 13.375, 52.5)))
+    assert(e === Extent(-3.625, 40.5, 13.375, 52.5))
+  }
 }

@@ -109,6 +109,20 @@ class ParserSpec extends AnyFunSuite {
     assert(CsvGeo.extract(csv).get.crs === "4326")
   }
 
+  test("CSV EPSG:3857 meters reproject to exact WGS84 (reference handle_csv.py:311-312)") {
+    import graft.geo.Geo
+    def mx(v: Double) = Geo.lonToMercX(v).toString
+    def my(v: Double) = Geo.latToMercY(v).toString
+    val csv = s"Latitude,Longitude,EPSG\n${my(40.5)},${mx(-3.625)},3857\n${my(52.5)},${mx(13.375)},3857"
+    val r = CsvGeo.extract(csv).get
+    assert(r.extent === Some(Extent(-3.625, 40.5, 13.375, 52.5))) // bit-exact
+    assert(r.crs === "4326")
+    assert(r.verts.toList === List(-3.625, 40.5, 13.375, 52.5))
+    // untransformed meters would have failed the WGS84 plausibility gate
+    val noCrs = s"Latitude,Longitude\n${my(40.5)},${mx(-3.625)}\n${my(52.5)},${mx(13.375)}"
+    assert(CsvGeo.extract(noCrs).get.extent === None)
+  }
+
   test("CSV time column + format ladder (reference handle_csv.py:860-906)") {
     val csv = "Latitude,Longitude,Date\n51.0,7.0,05.03.2016\n52.0,8.0,06.03.2016"
     assert(CsvGeo.extract(csv).get.tbox === Some(("2016-03-05", "2016-03-06")))
