@@ -35,7 +35,16 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def extracted(s: SparkSession, dir: String): DataFrame =
     if (sys.props.get("graft.cacheExtracted").contains("true"))
-      extractedCache.getOrElseUpdate((s, dir), Extractor.extract(Pages.pages(s, dir)).toDF().cache())
+      extractedCache.getOrElseUpdate((s, dir), {
+        // evict with the owning session — a long-lived multi-session service
+        // would otherwise accumulate cached plans for stopped sessions
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            extractedCache.filterInPlace { case ((sess, _), _) => sess != s }
+        })
+        Extractor.extract(Pages.pages(s, dir)).toDF().cache()
+      })
     else Extractor.extract(Pages.pages(s, dir)).toDF()
 
   private def withCentroid(df: DataFrame): DataFrame =

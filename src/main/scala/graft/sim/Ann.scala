@@ -101,20 +101,22 @@ object Ann {
       .select("vec_a", "vec_b", "cos")
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus into
-    * `nCentroids` cells; each probe searches only its `nProbe` nearest cells,
-    * with exact cosine re-rank inside the candidate set.
-    *
-    * Scale shape (the 100 TB path): centroids are a tiny driver-side list
-    * (broadcast via closure); cell assignment is one narrow pass over the
-    * corpus; the per-probe search is an equi-join on cell id against the
-    * nProbe probe cells — the corpus is never cross-joined and, with the
-    * index written out partitioned by cell, a probe reads nProbe/nCentroids
-    * of the data. Centroid choice is deterministic (every corpus/nCentroids-th
-    * vector by id) — a seeded-sample stand-in for k-means training.
+  /** IVF coarse-quantizer index: the driver-side centroid list plus the
+    * cell-assigned corpus. Splitting index BUILD from query time matters at
+    * scale: the corpus count + centroid collect + assignment pass happen ONCE
+    * per corpus (and the assigned index would be persisted partitioned by
+    * `ivf_cell`, so a probe's scan reads nProbe/nCentroids of the data);
+    * queries never re-derive any of it.
     */
-  def ivfTopK(vectors: DataFrame, probes: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  final case class IvfIndex(centroids: Array[(Int, Seq[Float])], assigned: DataFrame)
+
+  /** Build the IVF index: a coarse quantizer partitions the corpus into
+    * `nCentroids` cells. Centroids are a tiny driver-side list (broadcast via
+    * closure), chosen deterministically (every corpus/nCentroids-th vector by
+    * id — a seeded-sample stand-in for k-means training); cell assignment is
+    * one narrow pass over the corpus.
+    */
+  def ivfBuild(vectors: DataFrame, nCentroids: Int = 16): IvfIndex = {
     val n = vectors.count()
     val stride = math.max(1L, n / nCentroids)
     val cents: Array[(Int, Seq[Float])] = vectors
@@ -123,13 +125,21 @@ object Ann {
       .map(_.getSeq[Float](0)).zipWithIndex.map { case (v, i) => (i, v) }
     val assignUdf = udf((v: Seq[Float]) =>
       cents.maxBy { case (_, c) => cosine(v, c) }._1)
+    IvfIndex(cents, vectors.select(col("vec_id").as("nid"), col("embedding").as("v"),
+      assignUdf(col("embedding")).as("ivf_cell")))
+  }
+
+  /** Query an IVF index: each probe searches only its `nProbe` nearest cells
+    * (an equi-join on cell id — the corpus is never cross-joined), with exact
+    * cosine re-rank inside the candidate set.
+    */
+  def ivfQuery(index: IvfIndex, probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = index.centroids
     val probeCellsUdf = udf((v: Seq[Float]) =>
       cents.sortBy { case (i, c) => (-cosine(v, c), i) }.take(nProbe).map(_._1))
-    val indexed = vectors.select(col("vec_id").as("nid"), col("embedding").as("v"),
-      assignUdf(col("embedding")).as("ivf_cell"))
     val probeCells = probes.select(col("vec_id").as("pid"), col("embedding").as("p"),
       explode(probeCellsUdf(col("embedding"))).as("ivf_cell"))
-    val cand = indexed.join(broadcast(probeCells), Seq("ivf_cell"))
+    val cand = index.assigned.join(broadcast(probeCells), Seq("ivf_cell"))
       .filter(col("pid") =!= col("nid"))
       .withColumn("cos", cosineUdf(col("p"), col("v")))
     val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
@@ -138,15 +148,22 @@ object Ann {
       .select("pid", "rank", "nid", "cos")
   }
 
+  /** IVF ANN, build + query composed (the one-shot convenience form). */
+  def ivfTopK(vectors: DataFrame, probes: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfQuery(ivfBuild(vectors, nCentroids), probes, k, nProbe)
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
     * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
     * inside the candidate set. `multiprobe` ≥ 1 additionally probes every
-    * Hamming-1 neighbor bucket — PROBE-side only, so the corpus index stays
-    * one bucket per table (the standard multiprobe trade: ×(bits+1) probe
-    * lookups buy large recall without any index growth).
+    * Hamming-1 neighbor bucket, ≥ 2 every Hamming-2 neighbor — PROBE-side
+    * only, so the corpus index stays one bucket per table (the standard
+    * multiprobe trade: ×(1+bits+C(bits,2)) probe lookups buy large recall
+    * with zero index growth; at 8 bits that's 37 lookups/table, recall
+    * ~0.6 → ~0.8 on structureless random vectors).
     */
   def lshTopK(vectors: DataFrame, probes: DataFrame, k: Int,
-              tables: Int = 4, bitsPerTable: Int = 8, multiprobe: Int = 1): DataFrame = {
+              tables: Int = 4, bitsPerTable: Int = 8, multiprobe: Int = 2): DataFrame = {
     val numPlanes = tables * bitsPerTable
     def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
@@ -155,9 +172,15 @@ object Ann {
           posexplode(array((0 until tables).map(t =>
             shiftrightunsigned(col("_bits"), t * bitsPerTable)
               .bitwiseAND(lit((1L << bitsPerTable) - 1))): _*)).as(Seq("_table", "_bucket")))
-    val flipUdf = udf((bucket: Long) =>
-      if (multiprobe <= 0) Array(bucket)
-      else bucket +: (0 until bitsPerTable).map(i => bucket ^ (1L << i)).toArray)
+    val flipUdf = udf((bucket: Long) => {
+      val out = scala.collection.mutable.ArrayBuffer(bucket)
+      if (multiprobe >= 1)
+        for (i <- 0 until bitsPerTable) out += bucket ^ (1L << i)
+      if (multiprobe >= 2)
+        for (i <- 0 until bitsPerTable; j <- i + 1 until bitsPerTable)
+          out += bucket ^ (1L << i) ^ (1L << j)
+      out.toArray
+    })
     val v = withBuckets(vectors, "nid", "v")
     val p = withBuckets(probes, "pid", "p")
       .withColumn("_bucket", explode(flipUdf(col("_bucket"))))

@@ -100,7 +100,7 @@ class EngineSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
-  test("LSH ANN recall vs exact brute force is usable (>= 0.5 on random vectors, multiprobe)") {
+  test("LSH ANN recall vs exact brute force is usable (>= 0.7 on random vectors, multiprobe)") {
     assume(hasData)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 10)
@@ -109,9 +109,10 @@ class EngineSpec extends AnyFunSuite {
     val approx = sim.Ann.lshTopK(emb, probes, 5)
       .select("pid", "nid").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // random vectors are ANN's worst case (no cluster structure); Hamming-1
-    // multiprobe lifts the 4-table recall from ~0.35 to ~0.6 at sf0.01
-    assert(recall >= 0.5, s"LSH recall $recall")
+    // random vectors are ANN's worst case (no cluster structure); Hamming-2
+    // probe-side multiprobe (37 lookups/table, index unchanged) lifts the
+    // 4-table recall from ~0.35 (none) / ~0.6 (Hamming-1) past 0.7
+    assert(recall >= 0.7, s"LSH recall $recall")
   }
 
   test("IVF ANN recall vs exact brute force (nProbe/nCentroids = 1/4 of the corpus scanned)") {
