@@ -361,6 +361,25 @@ object SparkEntry {
           col("a._3").cast("long").as("char_start"), col("a._4").cast("long").as("char_end"))
     }),
 
+    // annotated-text rendering (reference handle_text.py:368-390,
+    // tests/test_api_text_annotate.py): the standoff spans of q29 rendered
+    // inline as [kind:surface] markers, inserted right-to-left so offsets
+    // stay valid; the oracle rebuilds the full annotated string in SQL
+    "q54_annotated_text" -> ((s, dir) => {
+      val renderUdf = udf((text: String) => {
+        val r = graft.parse.TextGeo.extract(text)
+        val spans = (r.places.map(sp => ("place", sp)) ++
+          r.dates.map(sp => ("date", sp)) ++ r.periods.map(sp => ("period", sp)))
+          .sortBy(-_._2.charStart)
+        spans.foldLeft(text) { case (acc, (kind, sp)) =>
+          acc.substring(0, sp.charStart) + s"[$kind:" +
+            acc.substring(sp.charStart, sp.charEnd) + "]" + acc.substring(sp.charEnd)
+        }
+      })
+      Pages.pages(s, dir).filter(col("d") % 10 === 8)
+        .select(col("d").as("doc_id"), renderUdf(col("text")).as("annotated"))
+    }),
+
     // R7 extraction statistics
     "q30_stats" -> ((s, dir) =>
       extracted(s, dir).groupBy("handler")
@@ -885,6 +904,30 @@ FROM b3 WHERE v IN (0, 1)
 UNION ALL
 SELECT d, 'period', period, ppos + len(phrase) + 1 + 22, ppos + len(phrase) + 1 + 22 + len(period)
 FROM b3 WHERE hasper""",
+
+    "q54_annotated_text" ->
+      """WITH p0 AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
+b AS (SELECT d,
+  CASE CAST((d//10) % 5 AS INTEGER) WHEN 0 THEN 'Amsterdam' WHEN 1 THEN 'Berlin' WHEN 2 THEN 'Paris' WHEN 3 THEN 'Madrid' ELSE 'Rome' END AS place,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) AS dd,
+  DATE '2015-01-01' + CAST(d % 1000 AS INTEGER) + CAST(d % 30 AS INTEGER) AS de,
+  (d % 3 = 0) AS hasper,
+  CASE CAST((d//10) % 4 AS INTEGER) WHEN 0 THEN 'Holocene' WHEN 1 THEN 'Pleistocene' WHEN 2 THEN 'Jurassic' ELSE 'Cretaceous' END AS period,
+  CAST(d % 4 AS INTEGER) AS v
+  FROM p0 WHERE d % 10 = 8),
+b2 AS (SELECT *,
+  strftime(dd, '%Y-%m-%d') AS i1, strftime(de, '%Y-%m-%d') AS i2,
+  strftime(dd,'%B') || ' ' || CAST(day(dd) AS VARCHAR) || ', ' || CAST(year(dd) AS VARCHAR) AS m1,
+  strftime(de,'%B') || ' ' || CAST(day(de) AS VARCHAR) || ', ' || CAST(year(de) AS VARCHAR) AS m2,
+  CAST(year(dd) AS VARCHAR) AS y1, CAST(year(de) AS VARCHAR) AS y2 FROM b)
+SELECT d AS doc_id,
+  'Survey near [place:' || place || '] conducted ' ||
+  CASE v WHEN 0 THEN 'from [date:' || i1 || '] to [date:' || i2 || ']'
+         WHEN 1 THEN 'from [date:' || m1 || '] to [date:' || m2 || ']'
+         WHEN 2 THEN 'over [date:' || y1 || '–' || y2 || ']'
+         ELSE 'from [date:January to March ' || y1 || ']' END
+  || '.' || CASE WHEN hasper THEN ' Deposits date to the [period:' || period || '].' ELSE '' END AS annotated
+FROM b2""",
 
     "q28_periods" -> (EXT +
       """SELECT d AS doc_id,
