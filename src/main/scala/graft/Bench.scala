@@ -293,7 +293,8 @@ object Bench {
     // of them at sf0.1 would mostly re-measure the same parse kernel)
     val headline = Seq(
       "q01_extract_extent", "q04_bbox_merge", "q07_pip_join", "q08_knn_join",
-      "q10_tiles", "q17_dedup_exact", "q22_ann_topk", "q23_minhash_pairs")
+      "q10_tiles", "q17_dedup_exact", "q22_ann_topk", "q23_minhash_pairs",
+      "q39_media_features")
     val spark = session(cpus)
     // share the parse stage across the headline queries (first query pays it)
     System.setProperty("graft.cacheExtracted", "true")

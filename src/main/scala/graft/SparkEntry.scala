@@ -272,17 +272,23 @@ object SparkEntry {
     // (c) no essentially-dissimilar pair is emitted (natural candidates
     // measure ≥0.74 true Jaccard). Raw candidate behavior stays in DedupSpec.
     "q23_minhash_pairs" -> ((s, dir) => {
-      val emitted = TextOps.minhashCandidatePairs(docsDup(s, dir)).select("doc_a", "doc_b")
+      // lazy localCheckpoint: the candidate set is consumed twice (member-id
+      // semi join + pair join) — materialize it once instead of re-running
+      // the whole LSH DAG per consumer, the stage boundary a real dedup
+      // pipeline would persist anyway
+      val emitted = TextOps.minhashCandidatePairs(docsDup(s, dir))
+        .select("doc_a", "doc_b").localCheckpoint(false)
       val base = docs(s, dir).select("doc_id")
       val planted = base.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
         .unionByName(base.filter(col("doc_id") % 25 === 0)
           .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"), lit("near").as("kind")))
-      val contained = emitted.join(planted, Seq("doc_a", "doc_b")).select("doc_a", "doc_b", "kind")
-      val lowsim = TextOps.exactJaccard(emitted, docsDup(s, dir))
-        .filter(col("jaccard") < 0.5)
-        .select(col("doc_a"), col("doc_b"), lit("lowsim").as("kind"))
-      contained.unionByName(lowsim)
+      // one pass over the (expensive, un-cached) candidate DAG: exact Jaccard
+      // for every emitted pair, then containment + floor in a single left join
+      TextOps.exactJaccard(emitted, docsDup(s, dir))
+        .join(planted, Seq("doc_a", "doc_b"), "left")
+        .filter(col("kind").isNotNull || col("jaccard") < 0.5)
+        .select(col("doc_a"), col("doc_b"), coalesce(col("kind"), lit("lowsim")).as("kind"))
     }),
 
     // dedup: SimHash near-dup pairs, CONTAINMENT-checked against the planted

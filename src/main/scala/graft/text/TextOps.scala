@@ -135,9 +135,17 @@ object TextOps {
           lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** Exact n-gram Jaccard for a candidate-pair DataFrame (doc_a, doc_b). */
+  /** Exact n-gram Jaccard for a candidate-pair DataFrame (doc_a, doc_b).
+    * Only documents that actually appear in a pair are shingled (semi join
+    * first): candidate verification must touch candidates, not re-scan the
+    * corpus — at 100 TB the pair set is orders of magnitude smaller.
+    */
   def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+    // explode, not a two-branch union: `pairs` may be an expensive un-cached
+    // DAG (an LSH candidate generator) and each branch would re-evaluate it
+    val ids = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -214,6 +214,17 @@ class ParserSpec extends AnyFunSuite {
     assert(Extract.extract(wrapper.getBytes("UTF-8"), "Survey near Paris.", "en").handler === "text")
   }
 
+  test("two-source split: payload-only skips HTML metadata, meta-only sees only it") {
+    val html = """<html><head><meta name="ICBM" content="51.5, 7.5"></head></html>""".getBytes("UTF-8")
+    assert(Extract.extract(html, "no geo here", "en").handler === "html")
+    // payload-only: the HTML handler is skipped, text fallback finds nothing
+    assert(Extract.extractPayloadOnly(html, "no geo here", "en").minLon === None)
+    assert(Extract.extractMetaOnly(html).minLon === Some(7.5))
+    val gj = """{"type":"Point","coordinates":[7.5,51.5]}""".getBytes("UTF-8")
+    assert(Extract.extractPayloadOnly(gj, "", "en").minLon === Some(7.5))
+    assert(Extract.extractMetaOnly(gj).minLon === None) // a GeoJSON doc has no meta tags
+  }
+
   test("html ladder step 7: OJS administrativeUnits bbox fallback (reference _base.py:616-631)") {
     // list-form bbox; the "not available" sentinel unit is skipped
     val ojs = """{"type":"FeatureCollection","features":[],"administrativeUnits":[""" +

@@ -57,6 +57,22 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.intersect(pairs).size >= (planted.size * 0.8).toInt)
   }
 
+  test("simhash repetition invariance: doubled text has Hamming distance 0 (always a candidate)") {
+    // the q24 containment-oracle guarantee: SimHash is sign-invariant under
+    // uniform token-count scaling, so text || ' ' || text hashes identically
+    for (i <- 0L until 40L) {
+      val t = words(i * 13 + 5, 20 + (i % 60).toInt)
+      assert(TextOps.simhash(t) === TextOps.simhash(t + " " + t))
+    }
+    val base = (0L until 40L).map(i => (i, words(i * 13 + 5, 80)))
+    val rep = (0L until 40L by 8L).map(i => (i + 3000L, { val t = words(i * 13 + 5, 80); t + " " + t }))
+    val docs = (base ++ rep).toDF("doc_id", "text")
+    val pairs = TextOps.simhashCandidatePairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 40L by 8L).map(i => (i, i + 3000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}") // recall 1.0, not a floor
+  }
+
   test("bucket cap: a planted hot cluster produces bounded pairs and the join completes") {
     // 120 identical docs (one degenerate bucket pre-collapse would be 7140
     // pairs) + 100 docs of a near-clone family (mutual jaccard ≈ 1, all in the
