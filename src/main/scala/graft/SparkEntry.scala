@@ -611,6 +611,30 @@ object SparkEntry {
             .when(col("m._1").isNotNull, "metadata").as("source"))
     }),
 
+    // line-frequency boilerplate removal (CCNet/RefinedWeb-style): planted
+    // footer lines — one in 100 % of docs (stripped), one per doc_id%100
+    // cohort at ~1-2 % (kept, below the 5 % threshold) — plus the unique body
+    // line; the oracle recomputes the whole frequency→strip→rejoin algorithm
+    "q55_boilerplate_strip" -> ((s, dir) => {
+      val withBoiler = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nCopyright Example Corp\nAll rights reserved to doc "),
+          col("doc_id") % 100).as("text"))
+      TextOps.stripBoilerplate(withBoiler, maxDocFrac = 0.05)
+        .select(col("doc_id"), md5(to_binary(col("clean_text"), lit("utf-8"))).as("clean_md5"),
+          col("n_lines_kept"))
+    }),
+
+    // deterministic hash-based stratified sampling: per-language keep rates
+    // applied via a lexicographic md5-prefix threshold — the portable seeded
+    // sample (identical in any engine that can md5 a string), the corpus-scale
+    // analog of the reference's seeded selection (helpfunctions.py:2012-2150)
+    "q56_sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("_h", substring(md5(concat(lit("sample-42:"), col("doc_id"))), 1, 2))
+        .filter(col("_h") < when(col("lang") === "en", "80")
+          .when(col("lang") === "de", "4d").otherwise("1a"))
+        .select(col("doc_id"), col("lang"))),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -816,6 +840,23 @@ FROM ext WHERE min_lon IS NOT NULL AND (d % 100) >= 80 AND k <= 7 GROUP BY 1""")
       """SELECT d AS doc_id, min_lon, min_lat, max_lon, max_lat,
 CASE WHEN min_lon IS NULL THEN NULL WHEN k IN (5,6,7) THEN 'metadata' ELSE 'payload' END AS source
 FROM ext"""),
+
+    "q55_boilerplate_strip" ->
+      """WITH b AS (SELECT doc_id,
+  text || chr(10) || 'Copyright Example Corp' || chr(10) || 'All rights reserved to doc ' || (doc_id % 100) AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
+l AS (SELECT doc_id, g.i AS pos, ls[g.i] AS line FROM sp, LATERAL unnest(generate_series(1, len(ls))) AS g(i)),
+n AS (SELECT count(*) AS nd FROM b),
+f AS (SELECT line FROM l, n GROUP BY line, nd HAVING count(DISTINCT doc_id) > nd * 0.05),
+k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM f))
+SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+CAST(count(*) AS BIGINT) AS n_lines_kept FROM k GROUP BY 1""",
+
+    "q56_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+WHERE substr(md5('sample-42:' || doc_id), 1, 2) <
+  CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '4d' ELSE '1a' END""",
 
     "q19_quality" ->
       """SELECT doc_id,

@@ -197,6 +197,32 @@ object TextOps {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  // ---- boilerplate removal (line-frequency, CCNet/RefinedWeb-style) ----
+
+  /** Remove lines that occur in more than `maxDocFrac` of the corpus — the
+    * canonical web-pipeline boilerplate strip (copyright footers, nav bars).
+    * Distributed shape: one line explode, a partial-aggregating line-frequency
+    * count, a broadcast of the scalar corpus size, and an anti join back —
+    * no per-doc state, no driver-side text. Output: doc_id, clean_text
+    * (lines rejoined in original order), n_lines_kept.
+    */
+  def stripBoilerplate(docs: DataFrame, maxDocFrac: Double): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val frequent = lines.groupBy("line").agg(count_distinct(col("doc_id")).as("_d"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_d") > col("_n") * maxDocFrac)
+      .select("line")
+    lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   // ---- quality / language / tokens / fingerprint ----
 
   /** Marker stopwords per language for the n-gram language-id heuristic. */
