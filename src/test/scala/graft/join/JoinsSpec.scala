@@ -18,6 +18,29 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with ZERO shuffle exchange (co-located join path)") {
+    val a = randomPoints(3000, 11L).toDF("doc_id", "lon", "lat", "cell")
+    val b = randomPoints(3000, 12L).toDF("doc_id", "lon", "lat", "cell")
+      .withColumnRenamed("doc_id", "other_id").select("other_id", "cell")
+    graft.table.Bucketing.writeBucketed(a, "bkt_a", "cell", 8)
+    graft.table.Bucketing.writeBucketed(b, "bkt_b", "cell", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "cell")
+      val n = joined.count()
+      // same result as the unbucketed join
+      assert(n === a.join(b, "cell").count())
+      // the join consumed bucket layout: no exchange anywhere in the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("pipJoin equals brute-force rectangle membership") {
     val pts = randomPoints(2000, 1L).toDF("doc_id", "lon", "lat", "cell")
     val polys = Seq(
