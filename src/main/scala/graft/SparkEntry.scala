@@ -396,10 +396,19 @@ object SparkEntry {
       Pages.pages(s, dir).select(col("d").as("doc_id"),
         md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))),
 
-    // ANN: LSH-bucketed variant (rows-only; recall checked in tests)
+    // ANN LSH, CONTAINMENT-checked: the corpus is augmented with an identical
+    // clone of every probe vector (vec_id+1e6). An identical vector shares
+    // every sign-bucket in every table, so LSH MUST retrieve it, and its
+    // cosine 1.0 ranks first — emitted ∩ planted is therefore exactly one
+    // rank-1 row per probe, deterministically. (Raw top-k quality is the
+    // EngineSpec recall-floor property; approximate output beyond the planted
+    // witnesses is not SQL-predictable.)
     "q32_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      val probes = emb.filter(col("vec_id") < 10)
+      val clones = probes.withColumn("vec_id", col("vec_id") + 1000000L)
+      Ann.lshTopK(emb.unionByName(clones), probes, 5)
+        .filter(col("nid") === col("pid") + 1000000L)
         .select(col("pid"), col("rank").cast("long").as("rank"), col("nid"))
     }),
 
@@ -635,6 +644,43 @@ object SparkEntry {
           .when(col("lang") === "de", "4d").otherwise("1a"))
         .select(col("doc_id"), col("lang"))),
 
+    // PII redaction over a corpus with planted emails/phones/IPv4s on every
+    // third doc; counts + redacted-text md5, fully recomputed by the oracle
+    "q57_pii_redact" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nContact: user"), col("doc_id"),
+            lit("@example.com or call +4930555"), col("doc_id") % 90 + 10,
+            lit(" node 10.0."), col("doc_id") % 250, lit("."), col("doc_id") % 100))
+          .otherwise(col("text")).as("text"))
+      TextOps.redactPii(withPii)
+    }),
+
+    // Gopher-style repetition metrics over a corpus with planted duplicated
+    // lines on every sixth doc; line/char duplicate fractions + top-bigram share
+    "q58_repetition" -> ((s, dir) => {
+      val withRep = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 6 === 1,
+          concat(col("text"), lit("\nrepeat line alpha\nrepeat line alpha\ntail "),
+            col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      TextOps.repetitionMetrics(withRep)
+    }),
+
+    // benchmark-contamination scan: eval set = doc_id%50==0 (plus a planted
+    // shared benchmark sentence on eval docs and on train docs with
+    // doc_id%11==3); training docs sharing any word-8-gram with eval are
+    // flagged with shared-n-gram and eval-doc counts
+    "q59_contamination" -> ((s, dir) => {
+      val sentence = " benchmark heldout sentence alpha beta gamma delta epsilon zeta eta theta"
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0 || col("doc_id") % 11 === 3,
+          concat(col("text"), lit(sentence))).otherwise(col("text")).as("text"))
+      TextOps.contamination(
+        aug.filter(col("doc_id") % 50 =!= 0),
+        aug.filter(col("doc_id") % 50 === 0), n = 8)
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -831,6 +877,11 @@ JOIN cnt cb ON cb.doc_id = p.doc_b"""),
     "q43_embed_neardup" ->
       "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, CAST(1.0 AS DOUBLE) AS cos FROM embeddings WHERE vec_id % 20 = 0",
 
+    // containment contract: an identical planted clone shares every LSH
+    // bucket, so it must be retrieved and must rank first
+    "q32_ann_lsh" ->
+      "SELECT vec_id AS pid, CAST(1 AS BIGINT) AS rank, vec_id + 1000000 AS nid FROM embeddings WHERE vec_id < 10",
+
     "q52_hull_merge_rect" -> (EXT +
       """SELECT (d % 97) AS g, CAST(count(*) AS BIGINT) AS n_pages,
 CAST(4 AS BIGINT) AS n_vertices, 0.5 AS area, 7.5 AS h_lon0, 51.5 AS h_lat0
@@ -857,6 +908,59 @@ CAST(count(*) AS BIGINT) AS n_lines_kept FROM k GROUP BY 1""",
       """SELECT doc_id, lang FROM documents
 WHERE substr(md5('sample-42:' || doc_id), 1, 2) <
   CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '4d' ELSE '1a' END""",
+
+    "q57_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'Contact: user' || doc_id
+    || '@example.com or call +4930555' || (doc_id % 90 + 10)
+    || ' node 10.0.' || (doc_id % 250) || '.' || (doc_id % 100)
+  ELSE text END AS text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9]{7,15}', '<PHONE>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM p""",
+
+    "q58_repetition" ->
+      """WITH r AS (SELECT doc_id,
+  CASE WHEN doc_id % 6 = 1 THEN text || chr(10) || 'repeat line alpha'
+    || chr(10) || 'repeat line alpha' || chr(10) || 'tail ' || doc_id
+  ELSE text END AS text FROM documents),
+sp AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS ls FROM r),
+l AS (SELECT doc_id, ls[g.i] AS line FROM sp, LATERAL unnest(generate_series(1, len(ls))) AS g(i)),
+lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+  sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+  sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) / CAST(sum(c * length(line)) AS DOUBLE) AS dup_line_char_frac
+  FROM lc GROUP BY 1),
+w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM r),
+bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS b
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS g(i) WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY 1)
+SELECT la.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id""",
+
+    "q59_contamination" ->
+      """WITH aug AS (SELECT doc_id,
+  CASE WHEN doc_id % 50 = 0 OR doc_id % 11 = 3
+    THEN text || ' benchmark heldout sentence alpha beta gamma delta epsilon zeta eta theta'
+  ELSE text END AS text FROM documents),
+w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM aug),
+ng AS (SELECT DISTINCT doc_id,
+    ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] || ' ' || ws[g.i+3] || ' '
+      || ws[g.i+4] || ' ' || ws[g.i+5] || ' ' || ws[g.i+6] || ' ' || ws[g.i+7] AS ng
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 7)) AS g(i) WHERE len(ws) >= 8),
+tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 50 <> 0),
+ev AS (SELECT doc_id AS eval_id, ng FROM ng WHERE doc_id % 50 = 0)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared,
+  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.ng = ev.ng GROUP BY 1""",
 
     "q19_quality" ->
       """SELECT doc_id,

@@ -223,6 +223,106 @@ object TextOps {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  // ---- PII redaction ----
+
+  /** PII patterns chosen for identical semantics under Java regex (Spark) and
+    * RE2 (DuckDB oracle): character classes, bounded repetition and `\b` only —
+    * no backrefs or lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, E.164-style phone numbers and IPv4 addresses; emit per-doc
+    * match counts plus an md5 of the redacted text. Pure codegen'd column
+    * expressions (regexp_extract_all/regexp_replace) — narrow, no shuffle.
+    * Replacement order (email → phone → ip) is part of the contract: an email
+    * is consumed before the IP pattern could match digits inside its domain.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      md5(to_binary(redacted, lit("utf-8"))).as("redacted_md5"))
+  }
+
+  // ---- repetition metrics (Gopher-style quality filters) ----
+
+  /** Per-document repetition metrics (Gopher §A1.3 family): fraction of lines
+    * (and of line characters) inside exactly-duplicated lines, and the
+    * occurrence share of the most frequent word bigram. All metrics are
+    * per-document, so the right 100 TB plan is ONE narrow pass with per-doc
+    * hash maps — an explode → groupBy(doc, line/bigram) formulation would
+    * shuffle the whole exploded corpus twice to regroup what was never split
+    * across partitions in the first place. (A deliberate UDF-over-builtins
+    * call: the builtin route costs two corpus-wide shuffles.)
+    */
+  private val repMetricsUdf = udf((text: String) => {
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val nLines = lines.length.toLong
+    if (nLines == 0L) (0L, 0.0, 0.0, 0.0)
+    else {
+      val lc = new java.util.HashMap[String, Int]()
+      lines.foreach(l => lc.merge(l, 1, Integer.sum _))
+      var dupLines = 0L; var dupChars = 0L; var totChars = 0L
+      lc.forEach { (l, c) =>
+        totChars += c.toLong * l.length
+        if (c > 1) { dupLines += c; dupChars += c.toLong * l.length }
+      }
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      var topFrac = 0.0
+      if (ws.length >= 2) {
+        val bc = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + 1 < ws.length) { bc.merge(ws(i) + " " + ws(i + 1), 1, Integer.sum _); i += 1 }
+        var mx = 0
+        bc.forEach((_, c) => if (c > mx) mx = c)
+        topFrac = mx.toDouble / (ws.length - 1)
+      }
+      (nLines, dupLines.toDouble / nLines, dupChars.toDouble / totChars, topFrac)
+    }
+  })
+
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), repMetricsUdf(col("text")).as("m"))
+      .select(col("doc_id"), col("m._1").as("n_lines"), col("m._2").as("dup_line_frac"),
+        col("m._3").as("dup_line_char_frac"), col("m._4").as("top_bigram_frac"))
+
+  // ---- benchmark contamination ----
+
+  /** Distinct lowercase word n-grams of a text column as strings (strings, not
+    * hashes, so an SQL oracle can recompute them; a production run would wrap
+    * this in xxhash64 to shrink the shuffle — same plan shape).
+    */
+  def ngramStrings(text: Column, n: Int): Column = {
+    val ws = filter(split(lower(text), "\\s+"), w => w =!= "")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination scan: flag training documents sharing at least
+    * one word `n`-gram with any document of a (small) evaluation set. The eval
+    * side's distinct n-grams are BROADCAST — the training corpus is scanned
+    * once, never shuffled, which is the only viable plan when train is 100 TB
+    * and eval is a few thousand benchmark documents.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, n: Int = 8): DataFrame = {
+    val trainNg = train.select(col("doc_id"), explode(ngramStrings(col("text"), n)).as("ng"))
+    val evalNg = evalSet.select(col("doc_id").as("eval_id"),
+      explode(ngramStrings(col("text"), n)).as("ng")).distinct()
+    trainNg.join(broadcast(evalNg), Seq("ng"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("ng")).as("n_shared"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   // ---- quality / language / tokens / fingerprint ----
 
   /** Marker stopwords per language for the n-gram language-id heuristic. */
