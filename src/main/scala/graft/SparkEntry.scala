@@ -681,6 +681,32 @@ object SparkEntry {
         aug.filter(col("doc_id") % 50 === 0), n = 8)
     }),
 
+    // S9 archive expansion end-to-end: build per-order zip/tar/tar.gz archives
+    // (each page = p<d>.html payload + p<d>.txt text members), expand with the
+    // pure-JVM codecs, re-extract every member pair, merge extents per archive
+    // (reference semantics: an archive's extent = merge of member extents,
+    // helpfunctions.py:1565-1650) — the oracle rebuilds the merge per d//8
+    "q60_archive_expand" -> ((s, dir) => {
+      val arch = graft.table.ArchiveTable.archives(s, dir)
+      val members = graft.sources.Archives.expand(arch).toDF()
+      val rebuilt = members
+        .withColumn("d", regexp_extract(col("member_name"), "^p(\\d+)\\.", 1).cast("long"))
+        .groupBy("archive_id", "d")
+        .agg(
+          first(when(col("member_name").endsWith(".html"), col("member_bytes")), ignoreNulls = true).as("html"),
+          first(when(col("member_name").endsWith(".txt"), col("member_bytes")), ignoreNulls = true).as("textb"))
+        .withColumn("text", col("textb").cast("string"))
+        .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .withColumn("lang", lit("en"))
+      Extractor.extract(rebuilt).toDF()
+        .groupBy((col("d") / 8).cast("long").as("archive_id"))
+        .agg(count(lit(1)).as("n_pages"), count(col("min_lon")).as("n_with_extent"),
+          min("min_lon").as("min_lon"), min("min_lat").as("min_lat"),
+          max("max_lon").as("max_lon"), max("max_lat").as("max_lat"))
+        .withColumn("fmt", when(col("archive_id") % 3 === 0, "zip")
+          .when(col("archive_id") % 3 === 1, "tar").otherwise("tgz"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -749,6 +775,15 @@ ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
 
     "q03_handler_counts" -> (EXT +
       "SELECT handler, CAST(count(*) AS BIGINT) AS cnt FROM ext GROUP BY 1"),
+
+    "q60_archive_expand" -> (EXT +
+      """SELECT archive_id, n_pages, n_with_extent, min_lon, min_lat, max_lon, max_lat,
+  CASE WHEN archive_id % 3 = 0 THEN 'zip' WHEN archive_id % 3 = 1 THEN 'tar' ELSE 'tgz' END AS fmt
+FROM (SELECT (d // 8) AS archive_id, CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(count(min_lon) AS BIGINT) AS n_with_extent,
+  min(min_lon) AS min_lon, min(min_lat) AS min_lat,
+  max(max_lon) AS max_lon, max(max_lat) AS max_lat
+  FROM (SELECT DISTINCT * FROM ext) GROUP BY 1)"""),
 
     "q04_bbox_merge" -> (EXT +
       """SELECT (d % 97) AS g, CAST(count(min_lon) AS BIGINT) AS n_ext,
