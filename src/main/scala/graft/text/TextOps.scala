@@ -115,12 +115,20 @@ object TextOps {
   def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                             bucketCap: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // persist the signature and banded-bucket stages: they are each consumed
+    // by several downstream branches (bucket sizes, both self-join sides, the
+    // post-dedup signature joins), and without a materialization point every
+    // branch re-runs the shingle+minhash UDF chain over the corpus — the
+    // stage boundary a production dedup pipeline would write to a table
+    // anyway. MEMORY_AND_DISK: evictable, recomputable, ~130 B/doc.
     val sigs = collapseExactDups(docs)
       .select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
     val kept = capBuckets(banded, Seq("band", "bandhash"), bucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"))
     val r = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"))
     val pairs = l.join(r, Seq("band", "bandhash"))
@@ -182,11 +190,15 @@ object TextOps {
     */
   def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3,
                             bucketCap: Int = 1000): DataFrame = {
+    // same persisted stage boundary as minhashCandidatePairs: the chunked
+    // frame feeds the occupancy count and both self-join sides
     val sh = collapseExactDups(docs).select(col("doc_id"), simhashUdf(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(c => shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "chunkval")))
     val kept = capBuckets(chunked, Seq("chunk", "chunkval"), bucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "chunkval"))
