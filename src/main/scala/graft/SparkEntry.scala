@@ -707,6 +707,35 @@ object SparkEntry {
           .when(col("archive_id") % 3 === 1, "tar").otherwise("tgz"))
     }),
 
+    // URL canonicalization (web-pipeline URL-level dedup key): planted
+    // mixed-case/www/port/fragment/trailing-slash variants, canonicalized by
+    // the fixed 5-rule contract; the oracle mirrors every rule verbatim
+    "q61_url_canonical" -> ((s, dir) => {
+      val urls = Pages.pages(s, dir).select(col("d").as("doc_id"),
+        concat(lit("HTTPS://WWW.Example-"), col("d") % 7, lit(".ORG"),
+          when(col("d") % 3 === 0, ":443").otherwise(""),
+          lit("/Pages/p"), col("d"),
+          when(col("d") % 4 === 1, "#section-2")
+            .when(col("d") % 4 === 2, "/").otherwise("")).as("url"))
+      urls.select(col("doc_id"), graft.functions.Scalars.canonicalizeUrl(col("url")).as("canon_url"))
+        .withColumn("host", graft.functions.Scalars.urlHost(col("canon_url")))
+    }),
+
+    // domain-reweighted sampling (DoReMi-style mixing weights, deterministic):
+    // per-host keep rates applied via the md5-prefix threshold — the portable
+    // seeded sample keyed by domain instead of language
+    "q62_host_sample" -> ((s, dir) =>
+      Pages.pages(s, dir)
+        .select(col("d").as("doc_id"), concat(lit("example-"), col("d") % 7, lit(".org")).as("host"))
+        .withColumn("_h", substring(md5(concat(lit("mix-7:"), col("doc_id"))), 1, 2))
+        .filter(col("_h") < when(col("host") === "example-0.org", "e6")
+          .when(col("host") === "example-1.org", "cc")
+          .when(col("host") === "example-2.org", "99")
+          .when(col("host") === "example-3.org", "66")
+          .when(col("host") === "example-4.org", "4d")
+          .when(col("host") === "example-5.org", "33").otherwise("1a"))
+        .select(col("doc_id"), col("host"))),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -775,6 +804,29 @@ ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
 
     "q03_handler_counts" -> (EXT +
       "SELECT handler, CAST(count(*) AS BIGINT) AS cnt FROM ext GROUP BY 1"),
+
+    "q61_url_canonical" ->
+      """WITH u AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
+u2 AS (SELECT d, 'HTTPS://WWW.Example-' || (d % 7) || '.ORG'
+  || CASE WHEN d % 3 = 0 THEN ':443' ELSE '' END
+  || '/Pages/p' || d
+  || CASE WHEN d % 4 = 1 THEN '#section-2' WHEN d % 4 = 2 THEN '/' ELSE '' END AS url FROM u),
+c1 AS (SELECT d, regexp_replace(url, '#.*$', '') AS nofrag FROM u2),
+c2 AS (SELECT d,
+  lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS auth,
+  regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM c1),
+c3 AS (SELECT d,
+  regexp_replace(regexp_replace(regexp_replace(auth, ':(443|80)$', ''), '://www\.', '://') || rest,
+    '/$', '') AS canon FROM c2)
+SELECT d AS doc_id, canon AS canon_url,
+  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM c3""",
+
+    "q62_host_sample" ->
+      """WITH u AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem)
+SELECT d AS doc_id, 'example-' || (d % 7) || '.org' AS host FROM u
+WHERE substr(md5('mix-7:' || d), 1, 2) <
+  CASE (d % 7) WHEN 0 THEN 'e6' WHEN 1 THEN 'cc' WHEN 2 THEN '99'
+    WHEN 3 THEN '66' WHEN 4 THEN '4d' WHEN 5 THEN '33' ELSE '1a' END""",
 
     "q60_archive_expand" -> (EXT +
       """SELECT archive_id, n_pages, n_with_extent, min_lon, min_lat, max_lon, max_lat,
