@@ -100,6 +100,29 @@ class EngineSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming exact dedup: cross-batch duplicates dropped, first-seen wins, state watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.StreamingDedup.dedupStream(docs, "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      in.addData((1L, t(0), "alpha text"), (2L, t(1), "beta text"), (3L, t(2), "alpha text"))
+      q.processAllAvailable()
+      // second batch: a cross-batch duplicate of doc 2 and one genuinely new doc
+      in.addData((4L, t(3), "beta text"), (5L, t(4), "gamma text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // first-seen doc per distinct text survives; 3 (in-batch dup) and 4
+    // (cross-batch dup, inside the watermark) are dropped
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 5L))
+    assert(out.map(_._2).toSet === Set("alpha text", "beta text", "gamma text"))
+  }
+
   test("LSH ANN recall vs exact brute force is usable (>= 0.7 on random vectors, multiprobe)") {
     assume(hasData)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
