@@ -26,13 +26,23 @@ object GraftFunctions {
     CellEncode(exprs(0), exprs(1), zoom)
   }
 
-  val cellEncodeInfo = new ExpressionInfo(classOf[CellEncode].getName, "cell_encode")
+  private def buildCosineSim(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "cosine_sim(a, b)")
+    CosineSim(exprs(0), exprs(1))
+  }
 
-  def register(spark: SparkSession): Unit =
+  val cellEncodeInfo = new ExpressionInfo(classOf[CellEncode].getName, "cell_encode")
+  val cosineSimInfo = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
+
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, "cell_encode", buildCellEncode)
+    org.apache.spark.sql.graft.ColumnShim.registerFunction(spark, "cosine_sim", buildCosineSim)
+  }
 
   class GraftExtensions extends (SparkSessionExtensions => Unit) {
-    override def apply(e: SparkSessionExtensions): Unit =
+    override def apply(e: SparkSessionExtensions): Unit = {
       e.injectFunction((FunctionIdentifier("cell_encode"), cellEncodeInfo, buildCellEncode))
+      e.injectFunction((FunctionIdentifier("cosine_sim"), cosineSimInfo, buildCosineSim))
+    }
   }
 }

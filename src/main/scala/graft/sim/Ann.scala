@@ -37,7 +37,7 @@ object Ann {
     val pairs = vectors.select(col("vec_id").as("nid"), col("embedding").as("v"))
       .join(broadcast(probes.select(col("vec_id").as("pid"), col("embedding").as("p"))),
         col("pid") =!= col("nid"))
-      .withColumn("cos", cosineUdf(col("p"), col("v")))
+      .withColumn("cos", graft.functions.CosineSim(col("p"), col("v")))
     val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -96,7 +96,7 @@ object Ann {
     pairs
       .join(vectors.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), Seq("vec_a"))
       .join(vectors.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), Seq("vec_b"))
-      .withColumn("cos", cosineUdf(col("e_a"), col("e_b")))
+      .withColumn("cos", graft.functions.CosineSim(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -141,7 +141,7 @@ object Ann {
       explode(probeCellsUdf(col("embedding"))).as("ivf_cell"))
     val cand = index.assigned.join(broadcast(probeCells), Seq("ivf_cell"))
       .filter(col("pid") =!= col("nid"))
-      .withColumn("cos", cosineUdf(col("p"), col("v")))
+      .withColumn("cos", graft.functions.CosineSim(col("p"), col("v")))
     val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -192,7 +192,7 @@ object Ann {
     // with map-side partials
     val cand = v.join(broadcast(p), Seq("_table", "_bucket"))
       .filter(col("pid") =!= col("nid"))
-      .withColumn("cos", cosineUdf(col("p"), col("v")))
+      .withColumn("cos", graft.functions.CosineSim(col("p"), col("v")))
       .groupBy("pid", "nid").agg(max("cos").as("cos"))
     val w = Window.partitionBy("pid").orderBy(col("cos").desc, col("nid").asc)
     cand.withColumn("rank", row_number().over(w))

@@ -141,6 +141,23 @@ class ModulesSpec extends AnyFunSuite {
     assert(n > 1)
   }
 
+  test("cosine_sim native expression: bit-equal to the Scala UDF, registered in SQL, codegen'd") {
+    functions.GraftFunctions.register(spark)
+    val rnd = new java.util.Random(7)
+    val vecs = Seq.fill(50)((Array.fill(16)(rnd.nextFloat() - 0.5f), Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    val both = df.select(
+      functions.CosineSim(col("a"), col("b")).as("expr"),
+      sim.Ann.cosineUdf(col("a"), col("b")).as("udf")).collect()
+    assert(both.forall(r => r.getDouble(0) === r.getDouble(1))) // bit-equal, not approx
+    val viaSql = df.createOrReplaceTempView("cos_t")
+    val n = spark.sql("SELECT cosine_sim(a, b) AS c FROM cos_t WHERE cosine_sim(a, b) > -2").count()
+    assert(n === 50)
+    // the expression must not break whole-stage codegen (no ScalaUDF node)
+    val plan = df.select(functions.CosineSim(col("a"), col("b"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("embedding-cosine near-dup: pairs symmetric-free, above threshold, subset of exact") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pairs = sim.Ann.cosineNearDupPairs(emb, threshold = 0.1).collect()
