@@ -32,6 +32,32 @@ class ArchivesSpec extends AnyFunSuite {
     assert(out.zip(members).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
 
+  test("property: random member sets round-trip through all three codecs") {
+    val rnd = new java.util.Random(42)
+    for (trial <- 0 until 25) {
+      val n = 1 + rnd.nextInt(6)
+      val ms = (0 until n).map { i =>
+        // sizes straddling the 512-byte tar block boundary on purpose
+        val size = Seq(0, 1, 511, 512, 513, 1024, rnd.nextInt(4000)).apply(rnd.nextInt(7))
+        val data = new Array[Byte](size)
+        rnd.nextBytes(data)
+        (s"m${trial}_$i.bin", data)
+      }
+      for ((label, bytes) <- Seq(
+        "zip" -> Archives.zipBuild(ms),
+        "tar" -> Archives.tarBuild(ms),
+        "tgz" -> Archives.gzip(Archives.tarBuild(ms)))) {
+        val out = label match {
+          case "zip" => Archives.unzip(bytes)
+          case "tar" => Archives.untar(bytes)
+          case _ => Archives.untar(Archives.gunzip(bytes))
+        }
+        assert(out.map(_._1) === ms.map(_._1), s"$label trial $trial names")
+        assert(out.zip(ms).forall { case ((_, a), (_, b)) => a.sameElements(b) }, s"$label trial $trial bytes")
+      }
+    }
+  }
+
   test("expand() explodes each archive format into member rows in one narrow pass") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
