@@ -736,6 +736,27 @@ object SparkEntry {
           .when(col("host") === "example-5.org", "33").otherwise("1a"))
         .select(col("doc_id"), col("host"))),
 
+    // F6 deadline-partial analog (deviation, documented): the reference
+    // processes files in a random.seed(0) order until the wall-clock deadline
+    // and flags the run `timeout` with partial results (extent.py:569-572,
+    // 683-712). Wall-clock is not reproducible, so the engine's analog is a
+    // deterministic WORK BUDGET: pages are admitted in md5-keyed order via a
+    // hash-prefix threshold (~25 % here); admitted pages extract normally,
+    // the remainder is emitted with handler='timeout' and null extents — the
+    // same user-visible contract (partial results + explicit flag), oracle-able
+    "q63_budget_partial" -> ((s, dir) => {
+      val admitted = col("_p") < "40"
+      val flagged = extracted(s, dir)
+        .withColumn("_p", substring(md5(concat(lit("deadline-0:"), col("d"))), 1, 2))
+      flagged.select(col("d").as("doc_id"),
+        when(admitted, col("handler")).otherwise("timeout").as("handler"),
+        when(admitted, col("min_lon")).as("min_lon"),
+        when(admitted, col("min_lat")).as("min_lat"),
+        when(admitted, col("max_lon")).as("max_lon"),
+        when(admitted, col("max_lat")).as("max_lat"),
+        (!admitted).as("timed_out"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -804,6 +825,16 @@ ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
 
     "q03_handler_counts" -> (EXT +
       "SELECT handler, CAST(count(*) AS BIGINT) AS cnt FROM ext GROUP BY 1"),
+
+    "q63_budget_partial" -> (EXT +
+      """SELECT d AS doc_id,
+  CASE WHEN substr(md5('deadline-0:' || d), 1, 2) < '40' THEN handler ELSE 'timeout' END AS handler,
+  CASE WHEN substr(md5('deadline-0:' || d), 1, 2) < '40' THEN min_lon END AS min_lon,
+  CASE WHEN substr(md5('deadline-0:' || d), 1, 2) < '40' THEN min_lat END AS min_lat,
+  CASE WHEN substr(md5('deadline-0:' || d), 1, 2) < '40' THEN max_lon END AS max_lon,
+  CASE WHEN substr(md5('deadline-0:' || d), 1, 2) < '40' THEN max_lat END AS max_lat,
+  substr(md5('deadline-0:' || d), 1, 2) >= '40' AS timed_out
+FROM ext"""),
 
     "q61_url_canonical" ->
       """WITH u AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
