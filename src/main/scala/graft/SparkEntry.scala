@@ -688,14 +688,9 @@ object SparkEntry {
     // helpfunctions.py:1565-1650) — the oracle rebuilds the merge per d//8
     "q60_archive_expand" -> ((s, dir) => {
       val arch = graft.table.ArchiveTable.archives(s, dir)
-      val members = graft.sources.Archives.expand(arch).toDF()
-      val rebuilt = members
-        .withColumn("d", regexp_extract(col("member_name"), "^p(\\d+)\\.", 1).cast("long"))
-        .groupBy("archive_id", "d")
-        .agg(
-          first(when(col("member_name").endsWith(".html"), col("member_bytes")), ignoreNulls = true).as("html"),
-          first(when(col("member_name").endsWith(".txt"), col("member_bytes")), ignoreNulls = true).as("textb"))
-        .withColumn("text", col("textb").cast("string"))
+      // expand + member re-pairing in ONE narrow flatMap (the archive's
+      // members are co-resident in the expanding task; see Archives.expandPages)
+      val rebuilt = graft.sources.Archives.expandPages(arch).toDF()
         .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
         .withColumn("lang", lit("en"))
       Extractor.extract(rebuilt).toDF()
