@@ -842,10 +842,13 @@ c2 AS (SELECT d,
   lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS auth,
   regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest FROM c1),
 c3 AS (SELECT d,
-  regexp_replace(regexp_replace(regexp_replace(auth, ':(443|80)$', ''), '://www\.', '://') || rest,
-    '/$', '') AS canon FROM c2)
+  CASE WHEN regexp_matches(auth, '^https://.*:443$') THEN regexp_replace(auth, ':443$', '')
+       WHEN regexp_matches(auth, '^http://.*:80$') THEN regexp_replace(auth, ':80$', '')
+       ELSE auth END AS auth1, rest FROM c2),
+c4 AS (SELECT d,
+  regexp_replace(regexp_replace(auth1, '://www\.', '://') || rest, '/$', '') AS canon FROM c3)
 SELECT d AS doc_id, canon AS canon_url,
-  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM c3""",
+  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1) AS host FROM c4""",
 
     "q62_host_sample" ->
       """WITH u AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem)
@@ -1013,9 +1016,12 @@ sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
 l AS (SELECT doc_id, g.i AS pos, ls[g.i] AS line FROM sp, LATERAL unnest(generate_series(1, len(ls))) AS g(i)),
 n AS (SELECT count(*) AS nd FROM b),
 f AS (SELECT line FROM l, n GROUP BY line, nd HAVING count(DISTINCT doc_id) > nd * 0.05),
-k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM f))
-SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
-CAST(count(*) AS BIGINT) AS n_lines_kept FROM k GROUP BY 1""",
+k AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM f)),
+agg AS (SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+  CAST(count(*) AS BIGINT) AS n_lines_kept FROM k GROUP BY 1)
+SELECT b.doc_id, coalesce(agg.clean_md5, md5('')) AS clean_md5,
+  coalesce(agg.n_lines_kept, 0) AS n_lines_kept
+FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""",
 
     "q56_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
@@ -1028,15 +1034,18 @@ WHERE substr(md5('sample-42:' || doc_id), 1, 2) <
     || '@example.com or call +4930555' || (doc_id % 90 + 10)
     || ' node 10.0.' || (doc_id % 250) || '.' || (doc_id % 100)
   ELSE text END AS text FROM documents)
+, p1 AS (SELECT doc_id, text,
+  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+  FROM p),
+p2 AS (SELECT doc_id, text, after_email,
+  regexp_replace(after_email, '\+[0-9]{7,15}', '<PHONE>', 'g') AS after_phone FROM p1)
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-  md5(regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-    '\+[0-9]{7,15}', '<PHONE>', 'g'),
+  CAST(len(regexp_extract_all(after_email, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(after_phone, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(after_phone,
     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5
-FROM p""",
+FROM p2""",
 
     "q58_repetition" ->
       """WITH r AS (SELECT doc_id,

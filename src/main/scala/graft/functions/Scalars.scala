@@ -33,22 +33,29 @@ object Scalars {
   /** URL canonicalization for web-corpus URL-level dedup (CCNet/C4-style).
     * Deterministic rule set, identical under Java regex and RE2:
     * 1. strip the fragment; 2. lowercase scheme+authority (path case kept);
-    * 3. drop default ports :80/:443; 4. drop a leading `www.`;
-    * 5. strip one trailing slash. Pure codegen'd expressions.
+    * 3. drop the scheme's OWN default port only (https→:443, http→:80 — a
+    * non-default port names a different resource and must survive);
+    * 4. drop a leading `www.`; 5. strip one trailing slash.
+    * Pure codegen'd expressions; no backreferences (Java uses $1 in
+    * replacements, RE2 uses \1 — the oracle must mirror every rule verbatim).
     */
   def canonicalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val auth = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    // no backreferences: Java uses $1 in replacements, RE2 uses \1 — the
-    // oracle must be able to mirror every rule verbatim
-    val auth2 = regexp_replace(regexp_replace(auth, ":(443|80)$", ""), "://www\\.", "://")
+    val auth2 = regexp_replace(
+      when(auth.rlike("^https://.*:443$"), regexp_replace(auth, ":443$", ""))
+        .when(auth.rlike("^http://.*:80$"), regexp_replace(auth, ":80$", ""))
+        .otherwise(auth),
+      "://www\\.", "://")
     regexp_replace(concat(auth2, rest), "/$", "")
   }
 
-  /** Registrable host of a canonicalized URL (for per-domain stats/mixing). */
+  /** Registrable host of a canonicalized URL (for per-domain stats/mixing):
+    * the authority minus any userinfo and port.
+    */
   def urlHost(canon: Column): Column =
-    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1)
 
   /** X8: axis-order swap — the reference's public API emits EPSG:4326-native
     * [lat,lon] while computing internally in GeoJSON [lon,lat] order

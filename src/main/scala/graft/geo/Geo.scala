@@ -151,6 +151,9 @@ object Geo {
   /** EPSG:3857 → WGS84 for a flat interleaved [x,y,…] meter array, grid-snapped. */
   def mercArrayToWgs84(coords: Array[Double]): Array[Double] = {
     if (coords == null) return coords
+    // an interleaved [x,y,…] array must have even length — a stray trailing
+    // element would otherwise come back as a fabricated 0.0 coordinate
+    require(coords.length % 2 == 0, s"odd-length interleaved coordinate array: ${coords.length}")
     val out = new Array[Double](coords.length)
     var i = 0
     while (i + 1 < coords.length) {

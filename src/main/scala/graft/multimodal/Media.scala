@@ -149,6 +149,10 @@ object Media {
     while (off + 8 <= bytes.length) {
       val id = tag4(off)
       val len = b.getInt(off + 4)
+      // a malformed negative/oversized length must FAIL the row, not spin the
+      // chunk walk in place (off += 8 + (-8) = no advance) or walk backwards
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"malformed WAV chunk '$id' at $off: declared length $len")
       if (id == "fmt ") rate = b.getInt(off + 12)
       if (id == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1)

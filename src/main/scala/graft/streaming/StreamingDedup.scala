@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  def dedupStream(docs: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =
-    docs
-      .withColumn("content_hash", md5(to_binary(col("text"), lit("utf-8"))))
+  def dedupStream(docs: DataFrame, tsCol: String, watermarkDelay: String): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(to_binary(col("text"), lit("utf-8"))))
+    // null-text rows all hash to null; deduping them against each other would
+    // silently collapse distinct (unparseable) documents — pass them through
+    val deduped = hashed.filter(col("text").isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+    deduped.unionByName(hashed.filter(col("text").isNull))
+  }
 }

@@ -105,6 +105,20 @@ object TextOps {
     keyed.join(sizes.filter(col("_bucket_n") <= cap), keyCols).drop("_bucket_n")
   }
 
+  // Persisted stage boundaries, BOUNDED: each LSH call persists intermediate
+  // frames that nothing downstream can safely unpersist (the result is lazy),
+  // so a long-lived session calling the operators repeatedly would accumulate
+  // cached blocks without bound. A small FIFO evicts the oldest persisted
+  // frames past a fixed cap — unpersist is always safe (Spark recomputes from
+  // lineage if a late consumer still needs one).
+  private val persistedStages = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistBounded(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedStages.add(df)
+    while (persistedStages.size > 8) Option(persistedStages.poll()).foreach(_.unpersist(false))
+    df
+  }
+
   /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
     * band-hash bucket join (self-join within buckets only, occupancy-capped),
     * pair dedup. Output (doc_a < doc_b, est_jaccard from full signatures).
@@ -121,14 +135,12 @@ object TextOps {
     // branch re-runs the shingle+minhash UDF chain over the corpus — the
     // stage boundary a production dedup pipeline would write to a table
     // anyway. MEMORY_AND_DISK: evictable, recomputable, ~130 B/doc.
-    val sigs = collapseExactDups(docs)
-      .select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistBounded(collapseExactDups(docs)
+      .select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig")))
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
-    val kept = capBuckets(banded, Seq("band", "bandhash"), bucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = persistBounded(capBuckets(banded, Seq("band", "bandhash"), bucketCap))
     val l = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"))
     val r = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"))
     val pairs = l.join(r, Seq("band", "bandhash"))
@@ -192,13 +204,12 @@ object TextOps {
                             bucketCap: Int = 1000): DataFrame = {
     // same persisted stage boundary as minhashCandidatePairs: the chunked
     // frame feeds the occupancy count and both self-join sides
-    val sh = collapseExactDups(docs).select(col("doc_id"), simhashUdf(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistBounded(
+      collapseExactDups(docs).select(col("doc_id"), simhashUdf(col("text")).as("sh")))
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(c => shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk", "chunkval")))
-    val kept = capBuckets(chunked, Seq("chunk", "chunkval"), bucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = persistBounded(capBuckets(chunked, Seq("chunk", "chunkval"), bucketCap))
     val l = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = kept.select(col("chunk"), col("chunkval"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "chunkval"))
@@ -226,13 +237,20 @@ object TextOps {
       .crossJoin(broadcast(nDocs))
       .filter(col("_d") > col("_n") * maxDocFrac)
       .select("line")
-    lines.join(frequent, Seq("line"), "left_anti")
+    val keptAgg = lines.join(frequent, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")), "\n").as("clean_text"),
         count(lit(1)).as("n_lines_kept"))
+    // a doc whose every line is boilerplate must SURVIVE with empty text —
+    // silently dropping it would lose documents from the corpus exactly when
+    // the strip works hardest
+    docs.select("doc_id").join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
 
   // ---- PII redaction ----
@@ -248,19 +266,21 @@ object TextOps {
   /** Redact emails, E.164-style phone numbers and IPv4 addresses; emit per-doc
     * match counts plus an md5 of the redacted text. Pure codegen'd column
     * expressions (regexp_extract_all/regexp_replace) — narrow, no shuffle.
-    * Replacement order (email → phone → ip) is part of the contract: an email
-    * is consumed before the IP pattern could match digits inside its domain.
+    * Replacement order (email → phone → ip) is part of the contract, and each
+    * count is taken on the text AFTER the earlier patterns were consumed, so
+    * the counts always agree with the emitted redaction (e.g. a phone-shaped
+    * digit run inside an email's local part counts as part of the email, not
+    * as a phone).
     */
   def redactPii(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val redacted = regexp_replace(
-      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
-      IpRe, "<IP>")
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long").as("n_ips"),
-      md5(to_binary(redacted, lit("utf-8"))).as("redacted_md5"))
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      md5(to_binary(regexp_replace(afterPhone, IpRe, "<IP>"), lit("utf-8"))).as("redacted_md5"))
   }
 
   // ---- repetition metrics (Gopher-style quality filters) ----

@@ -112,15 +112,16 @@ class EngineSpec extends AnyFunSuite {
       in.addData((1L, t(0), "alpha text"), (2L, t(1), "beta text"), (3L, t(2), "alpha text"))
       q.processAllAvailable()
       // second batch: a cross-batch duplicate of doc 2 and one genuinely new doc
-      in.addData((4L, t(3), "beta text"), (5L, t(4), "gamma text"))
+      in.addData((4L, t(3), "beta text"), (5L, t(4), "gamma text"),
+        (6L, t(4), null), (7L, t(5), null)) // null-text docs must NOT dedup against each other
       q.processAllAvailable()
     } finally q.stop()
     val out = spark.table("dedup_out").select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1)
     // first-seen doc per distinct text survives; 3 (in-batch dup) and 4
-    // (cross-batch dup, inside the watermark) are dropped
-    assert(out.map(_._1).toSeq === Seq(1L, 2L, 5L))
-    assert(out.map(_._2).toSet === Set("alpha text", "beta text", "gamma text"))
+    // (cross-batch dup, inside the watermark) are dropped; both null-text
+    // rows pass through
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 5L, 6L, 7L))
   }
 
   test("LSH ANN recall vs exact brute force is usable (>= 0.7 on random vectors, multiprobe)") {

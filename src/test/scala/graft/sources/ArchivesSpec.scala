@@ -58,6 +58,13 @@ class ArchivesSpec extends AnyFunSuite {
     }
   }
 
+  test("untar fails loudly on a truncated archive instead of zero-padding the member") {
+    val whole = Archives.tarBuild(Seq(("big.bin", Array.fill[Byte](1000)(3))))
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, 512 + 700) // header + partial payload
+    val e = intercept[IllegalArgumentException](Archives.untar(truncated))
+    assert(e.getMessage.contains("truncated tar"))
+  }
+
   test("expand() explodes each archive format into member rows in one narrow pass") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

@@ -33,6 +33,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(texts(1L) === "mail me at <EMAIL> or <EMAIL>, call <PHONE>, host <IP>")
   }
 
+  test("redactPii: sequential counts — a phone inside an email's local part is not double-counted") {
+    val docs = Seq(
+      (1L, "reach a+1234567@x.com today"), // phone-shaped run inside the email
+      (2L, "user@1.2.3.4 mails")           // NOT an email (numeric TLD) — the IP stands alone
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 0L, 0L))) // counted as email only, not also as a phone
+    assert(out(2L) === ((0L, 0L, 1L))) // numeric domain fails the email TLD rule; IP counts
+  }
+
+  test("stripBoilerplate: a doc whose every line is boilerplate survives with empty text") {
+    // 20 docs share the same single line -> 100% doc frequency, all stripped
+    val docs = (1L to 20L).map(i => (i, "same line everywhere")).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, maxDocFrac = 0.05).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[String]("clean_text") === ""))
+    assert(out.forall(_.getAs[Long]("n_lines_kept") === 0L))
+  }
+
   test("repetitionMetrics: duplicate-line and top-bigram fractions are exact") {
     val docs = Seq(
       // 4 lines, "dup" twice: dup_line_frac = 2/4; chars: dup 3*2=6 of 6+5+9=20... lines "dup","dup","hello","abcdwxyz!" => chars 3+3+5+8=19, dup 6
