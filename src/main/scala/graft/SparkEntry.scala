@@ -752,6 +752,26 @@ object SparkEntry {
         (!admitted).as("timed_out"))
     }),
 
+    // dedup clusters: connected components over the planted duplicate-pair
+    // graph (pairs → clusters, the step that picks one canonical doc per
+    // component). The ALGORITHM is the real iterative min-label propagation;
+    // the planted components are closed-form (base doc ∪ its clones), so the
+    // oracle can predict every (node, label) row
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val e1 = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1000000L).as("dst"))
+      val e2 = base.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2000000L).as("dst"))
+      graft.graph.Components.connectedComponents(e1.unionByName(e2))
+        .select(col("node"), col("label"))
+    }),
+
+    // training-window chunking: overlapping 20-token windows, 5-token overlap;
+    // the oracle recomputes every window's token count and content md5
+    "q65_chunking" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), chunkTokens = 20, overlap = 5)),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -820,6 +840,25 @@ ext AS (SELECT d, k, handler, dd, de, hasper, peri, plon, plat,
 
     "q03_handler_counts" -> (EXT +
       "SELECT handler, CAST(count(*) AS BIGINT) AS cnt FROM ext GROUP BY 1"),
+
+    // each planted component = {base, base+1e6?, base+2e6?} with min = base
+    "q64_dedup_clusters" ->
+      """SELECT doc_id AS node, doc_id AS label FROM documents WHERE doc_id % 20 = 0 OR doc_id % 25 = 0
+UNION ALL SELECT doc_id + 1000000 AS node, doc_id AS label FROM documents WHERE doc_id % 20 = 0
+UNION ALL SELECT doc_id + 2000000 AS node, doc_id AS label FROM documents WHERE doc_id % 25 = 0""",
+
+    "q65_chunking" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+c AS (SELECT doc_id, ws, n,
+  CASE WHEN n <= 20 THEN 1 ELSE ((n - 20 + 14) // 15) + 1 END AS nc FROM n),
+e AS (SELECT doc_id, ws, n, g.i - 1 AS chunk_idx
+  FROM c, LATERAL unnest(generate_series(1, nc)) AS g(i)),
+s AS (SELECT doc_id, chunk_idx,
+  ws[chunk_idx * 15 + 1 : least(chunk_idx * 15 + 20, n)] AS toks FROM e)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  md5(array_to_string(toks, ' ')) AS chunk_md5 FROM s""",
 
     "q63_budget_partial" -> (EXT +
       """SELECT d AS doc_id,

@@ -355,6 +355,29 @@ object TextOps {
         count_distinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  // ---- token-window chunking ----
+
+  /** Split documents into overlapping token windows (the training-window
+    * chunker: chunk i covers tokens [i·step, i·step+chunkTokens), step =
+    * chunkTokens − overlap; the last chunk may be shorter). One narrow
+    * explode per doc — no shuffle; chunk content is carried as an md5 so the
+    * output stays thin. Whitespace tokens keep the contract SQL-mirrorable.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val withWs = docs.select(col("doc_id"), ws.as("ws")).withColumn("n", size(col("ws")))
+    val nChunks = when(col("n") <= chunkTokens, lit(1))
+      .otherwise(floor((col("n") - chunkTokens + (step - 1)) / lit(step.toDouble)).cast("int") + 1)
+    withWs.withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("ws"), col("chunk_idx") * step + 1, lit(chunkTokens)).as("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(to_binary(array_join(col("toks"), " "), lit("utf-8"))).as("chunk_md5"))
+  }
+
   // ---- quality / language / tokens / fingerprint ----
 
   /** Marker stopwords per language for the n-gram language-id heuristic. */
