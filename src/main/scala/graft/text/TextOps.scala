@@ -34,8 +34,6 @@ object TextOps {
     h
   }
 
-  private val ShinglePrime = 2305843009213693951L // 2^61 - 1
-
   /** Word 3-shingle hash set of a document (lowercased, whitespace tokens). */
   def shingleHashes(text: String, k: Int = 3): Array[Long] = {
     if (text == null) return Array.empty
