@@ -79,10 +79,20 @@ object SpatialJoins {
     * `knnJoin`.
     */
   def knnJoinBig(queries: DataFrame, points: DataFrame, k: Int,
-                 zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
+                 zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val pts = points.select("pid", "lon", "lat", "cell").cache()
+    // The kNN grid must be FINER than the join/tiling grid: with c points per
+    // cell, round 1 materializes ~9c candidates per query through the top-k
+    // window, so coarse cells turn a dense corpus into a quadratic-ish
+    // candidate flood (measured: zoom 4 over 530k points = ~18k candidates/
+    // query, 100M+ windowed rows; zoom 7 ≈ 60× less). Pick zoom so cells hold
+    // O(10²) points; the result is zoom-invariant (exactness is certified by
+    // diskBound2 every round) — only the plan's shape changes. The corpus is
+    // re-encoded here (one narrow codegen'd pass) so callers can hand in any
+    // cell column without it constraining the kNN grid.
+    val pts = points.select(col("pid"), col("lon"), col("lat"),
+      graft.functions.CellEncode(col("lat"), col("lon"), zoom).as("cell")).cache()
     val qcellUdf = udf((lat: Double, lon: Double) => QuadKey.encode(lat, lon, zoom))
     var remaining = queries.select(col("qid"), col("qlon"), col("qlat"))
       .withColumn("_qcell", qcellUdf(col("qlat"), col("qlon"))).cache()
@@ -113,7 +123,10 @@ object SpatialJoins {
       doneRows.count() // materialize before remaining/pts caches churn
       acc = if (acc == null) doneRows else acc.unionByName(doneRows)
       val next = remaining.join(finals, Seq("qid"), "left_anti").cache()
-      done = rr >= maxR || next.isEmpty
+      val nLeft = next.count()
+      if (System.getProperty("graft.knnDebug") != null)
+        System.err.println(s"[knnJoinBig] r=$rr remaining_after=$nLeft")
+      done = rr >= maxR || nLeft == 0
       remaining.unpersist()
       remaining = next
       r *= 2

@@ -76,6 +76,17 @@ class ModulesSpec extends AnyFunSuite {
     assert(multimodal.Media.decodePng(frame2).getRaster.getSample(0, 0, 0) === 2)
   }
 
+  test("media: malformed WAV chunk length fails the row instead of spinning the chunk walk") {
+    val samples = Array.tabulate(10)(i => i.toShort)
+    val wav = multimodal.Media.encodeWav(8000, samples)
+    // corrupt the fmt chunk length to -8: off += 8 + (-8) would never advance
+    val bad = wav.clone()
+    val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(16, -8)
+    val e = intercept[IllegalArgumentException](multimodal.Media.wavFeatures(bad))
+    assert(e.getMessage.contains("malformed WAV chunk"))
+  }
+
   test("sessionization: gap splitting and aggregation (batch mode)") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val events = Seq(

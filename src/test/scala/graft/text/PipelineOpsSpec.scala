@@ -69,6 +69,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("top_bigram_frac") === 0.5)
   }
 
+  test("canonicalizeUrl: scheme-aware default ports, non-default ports survive, userinfo-free host") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Ex.ORG:443/Path/x#frag"), // default port for https -> stripped
+      (2L, "http://example.com:443/x"),           // NON-default for http -> kept
+      (3L, "http://example.com:80/x"),            // default for http -> stripped
+      (4L, "https://user@Host.org/a/")            // userinfo not part of the host
+    ).toDF("doc_id", "url")
+    val out = docs.select(col("doc_id"),
+      graft.functions.Scalars.canonicalizeUrl(col("url")).as("c"))
+      .withColumn("h", graft.functions.Scalars.urlHost(col("c")))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L) === (("https://ex.org/Path/x", "ex.org")))
+    assert(out(2L) === (("http://example.com:443/x", "example.com")))
+    assert(out(3L) === (("http://example.com/x", "example.com")))
+    assert(out(4L) === (("https://user@host.org/a", "host.org")))
+  }
+
   test("contamination: planted 8-gram overlap found via broadcast eval set; clean docs absent") {
     val sentence = "zero one two three four five six seven eight nine"
     val train = Seq(
