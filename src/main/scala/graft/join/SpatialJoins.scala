@@ -138,7 +138,7 @@ object SpatialJoins {
   }
 
   def knnJoin(queries: Seq[(Long, Double, Double)], points: DataFrame, k: Int,
-              zoom: Int = graft.table.Pages.JoinZoom): DataFrame = {
+              zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
     // Contract: the query set is driver-resident and broadcast each round —
     // right for "nearest reference dataset" workloads (tens to thousands of
     // probes against a huge corpus). A million-query kNN needs a different
@@ -148,8 +148,12 @@ object SpatialJoins {
       s"knnJoin is designed for small driver-side query sets; got ${queries.size} queries")
     val spark = points.sparkSession
     import spark.implicits._
-    // the corpus side is re-joined every round — materialize it once
-    val pts = points.select("pid", "lon", "lat", "cell").cache()
+    // the corpus side is re-joined every round — materialize it once, cell-
+    // encoded at the kNN grid zoom (NOT the caller's cell column: the kNN
+    // grid must match `zoom` and wants finer cells than the join/tiling
+    // grid — see knnJoinBig)
+    val pts = points.select(col("pid"), col("lon"), col("lat"),
+      graft.functions.CellEncode(col("lat"), col("lon"), zoom).as("cell")).cache()
     var remaining = queries
     var r = 1
     var acc: DataFrame = null
