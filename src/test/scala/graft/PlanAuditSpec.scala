@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make the 100 TB plans
+  * viable are asserted here, so a refactor that silently reintroduces a
+  * cartesian product, an unexpected shuffle, or a full-width parquet scan
+  * fails CI instead of surviving until a scale run.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def hasData = new java.io.File(s"$sf/lineitem.parquet").exists()
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  // queries whose DEFINITION is a broadcast non-equi join: q09 joins on a
+  // broadcast interval-overlap predicate; q22 is the brute-force exact ANN
+  // baseline (broadcast probes x corpus IS the operator); q50 reverse-
+  // geocodes ~100 merged groups against a tiny broadcast gazetteer (nearest-
+  // entry needs every candidate). Everything else must be equi/broadcast-hash.
+  // ... and q55 broadcasts the 1-row corpus-size scalar to every line (the
+  // scalar-broadcast idiom).
+  private val nonEquiByDesign =
+    Set("q09_temporal_join", "q22_ann_topk", "q50_placename", "q55_boilerplate_strip")
+
+  test("no query plans a cartesian product or unplanned nested-loop join") {
+    assume(hasData)
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin") || nonEquiByDesign(name),
+        s"$name plans a nested-loop join")
+    }
+  }
+
+  test("narrow per-doc operators stay exchange-free (q57 PII, q58 repetition, q63 budget)") {
+    assume(hasData)
+    for (name <- Seq("q57_pii_redact", "q58_repetition", "q63_budget_partial")) {
+      // the only allowed exchange is the deliberate round-robin repartition
+      // of the synthesized pages input (spreads payload building); no
+      // aggregation/join exchange may appear
+      val p = planOf(name)
+      val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(p).size
+      assert(exchanges === 0, s"$name has a keyed shuffle:\n$p")
+    }
+  }
+
+  test("big sides broadcast the small side (PIP polygons, contamination eval set)") {
+    assume(hasData)
+    assert(planOf("q07_pip_join").contains("BroadcastHashJoin"))
+    assert(planOf("q59_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("extraction reads only the needed page columns (column pruning reaches the source)") {
+    assume(hasData)
+    val e = operators.Extractor.extract(table.Pages.pages(spark, sf)).toDF()
+    val scan = e.queryExecution.executedPlan.toString
+    // lineitem parquet feeds the synthesized pages: only the two id columns
+    // may be read, never the full lineitem width
+    assert(scan.contains("l_orderkey") && !scan.contains("l_extendedprice"),
+      s"extraction reads more of lineitem than the id columns:\n$scan")
+  }
+
+  test("aggregations on the merge paths are hash-based, not sort-based") {
+    assume(hasData)
+    for (name <- Seq("q04_bbox_merge", "q10_tiles", "q17_dedup_exact")) {
+      val p = planOf(name)
+      assert(!p.contains("SortAggregate"), s"$name fell back to SortAggregate:\n$p")
+    }
+  }
+}
