@@ -6,7 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 8 threads: 65 queries run serially, so per-query parallelism is the
+    // only wall-time lever; the driver can still override via SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     def build(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
