@@ -53,6 +53,48 @@ object DateGuess {
     fmt("uuuu.MM.dd HH:mm:ss") -> true,
   )
 
+  /** Cheap NECESSARY shape conditions per ladder entry, checked before the
+    * (exception-throwing, ~µs-costly) formatter attempt. Faithful to the
+    * reference's strptime semantics: %Y/%m/%d etc. are fixed-width, so length
+    * and literal-separator positions are exact necessary conditions — a value
+    * failing its shape check could never parse, and skipping the attempt is
+    * result-invariant. Variable-width entries (month names, zone offsets) get
+    * looser checks. Cuts the per-value guess cost ~an order of magnitude.
+    */
+  private def sep(t: String, i: Int, c: Char): Boolean = t.length > i && t.charAt(i) == c
+  private def allDigits(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) { if (!Character.isDigit(t.charAt(i))) return false; i += 1 }
+    t.nonEmpty
+  }
+  private val shapes: Array[String => Boolean] = Array(
+    t => t.length == 19 && sep(t, 4, '/') && sep(t, 7, '/') && sep(t, 10, ' '), // uuuu/MM/dd HH:mm:ss
+    t => t.length == 19 && sep(t, 4, '-') && sep(t, 7, '-') && sep(t, 10, ' '), // uuuu-MM-dd HH:mm:ss
+    t => t.length == 10 && sep(t, 4, '/') && sep(t, 7, '/'), // uuuu/MM/dd
+    t => t.length == 10 && sep(t, 4, '-') && sep(t, 7, '-'), // uuuu-MM-dd
+    t => t.length == 10 && sep(t, 2, '/') && sep(t, 5, '/'), // dd/MM/uuuu
+    t => t.length == 10 && sep(t, 2, '-') && sep(t, 5, '-'), // dd-MM-uuuu
+    t => t.length == 10 && sep(t, 2, '/') && sep(t, 5, '/'), // MM/dd/uuuu
+    t => t.length == 10 && sep(t, 2, '-') && sep(t, 5, '-'), // MM-dd-uuuu
+    t => t.length == 8 && allDigits(t), // uuuuMMdd
+    t => t.length == 10 && sep(t, 2, '.') && sep(t, 5, '.'), // dd.MM.uuuu
+    t => t.length == 10 && sep(t, 4, '.') && sep(t, 7, '.'), // uuuu.MM.dd
+    t => t.length == 19 && sep(t, 10, 'T'), // uuuu-MM-dd'T'HH:mm:ss
+    t => t.length == 26 && sep(t, 10, 'T') && sep(t, 19, '.'), // ...'T'HH:mm:ss.SSSSSS
+    t => t.length >= 20 && sep(t, 10, 'T'), // ...'T'HH:mm:ssX (zone width varies)
+    t => t.length == 26 && sep(t, 10, ' ') && sep(t, 19, '.'), // uuuu-MM-dd HH:mm:ss.SSSSSS
+    t => t.length >= 10 && sep(t, 2, ' '), // dd MMMM uuuu (month name width varies)
+    t => t.length == 11 && sep(t, 2, ' ') && sep(t, 6, ' '), // dd MMM uuuu
+    t => t.length >= 25 && sep(t, 3, ','), // EEE, dd MMM uuuu HH:mm:ss xx
+    t => t.length == 8 && sep(t, 2, ':') && sep(t, 5, ':'), // HH:mm:ss
+    t => t.length == 12 && sep(t, 2, ':') && sep(t, 8, '.'), // HH:mm:ss.SSS
+    t => t.length == 7 && sep(t, 4, '-'), // uuuu-MM
+    t => t.length == 4 && allDigits(t), // uuuu
+    t => t.length == 8 && sep(t, 4, '-'), // uuuu-DDD
+    t => t.length == 8 && sep(t, 2, '/') && sep(t, 5, '/'), // dd/MM/uu
+    t => t.length == 8 && sep(t, 2, '/') && sep(t, 5, '/'), // MM/dd/uu
+    t => t.length == 19 && sep(t, 4, '.') && sep(t, 7, '.') && sep(t, 10, ' ')) // uuuu.MM.dd HH:mm:ss
+
   /** First ladder format that parses the sample value, as a ladder index. */
   def guessFormat(sample: String): Option[Int] = {
     if (sample == null) return None
@@ -60,10 +102,12 @@ object DateGuess {
     if (t.isEmpty) return None
     var i = 0
     while (i < ladder.length) {
-      try {
-        ladder(i)._1.parse(t)
-        return Some(i)
-      } catch { case _: Exception => }
+      if (shapes(i)(t)) {
+        try {
+          ladder(i)._1.parse(t)
+          return Some(i)
+        } catch { case _: Exception => }
+      }
       i += 1
     }
     None
