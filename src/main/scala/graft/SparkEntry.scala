@@ -772,6 +772,27 @@ object SparkEntry {
     "q65_chunking" -> ((s, dir) =>
       TextOps.chunkDocs(docs(s, dir), chunkTokens = 20, overlap = 5)),
 
+    // shapefile scan end-to-end: synthesized .shp (multipoint corners) +
+    // .dbf (dBASE 'D' date field) binary columns parsed by the pure-JVM
+    // readers (reference: shapefiles via fiona, handle_vector.py; goldens vs
+    // the reference's own fixtures in ShapefileGpkgSpec); the oracle rebuilds
+    // every extent and tbox from the closed forms
+    "q66_shapefile_extent" -> ((s, dir) => {
+      val parseUdf = udf((shp: Array[Byte], dbf: Array[Byte]) => {
+        val r = graft.parse.Shapefile.readShp(shp).get
+        val tb = graft.parse.Shapefile.dbfTbox(dbf)
+        (r.extent.minLon, r.extent.minLat, r.extent.maxLon, r.extent.maxLat,
+          r.verts.length / 2, tb.map(_._1).orNull, tb.map(_._2).orNull)
+      })
+      graft.table.ShapeTable.shapes(s, dir)
+        .select(col("doc_id"), parseUdf(col("shp"), col("dbf")).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("min_lon"), col("r._2").as("min_lat"),
+          col("r._3").as("max_lon"), col("r._4").as("max_lat"),
+          col("r._5").cast("long").as("n_verts"),
+          col("r._6").as("tbox_start"), col("r._7").as("tbox_end"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -859,6 +880,12 @@ s AS (SELECT doc_id, chunk_idx,
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   md5(array_to_string(toks, ' ')) AS chunk_md5 FROM s""",
+
+    "q66_shapefile_extent" -> (EXT +
+      """SELECT d AS doc_id, lon0 AS min_lon, lat0 AS min_lat,
+  lon0 + bw AS max_lon, lat0 + bh AS max_lat, CAST(4 AS BIGINT) AS n_verts,
+  strftime(dd, '%Y-%m-%d') AS tbox_start, strftime(de, '%Y-%m-%d') AS tbox_end
+FROM p1"""),
 
     "q63_budget_partial" -> (EXT +
       """SELECT d AS doc_id,

@@ -30,6 +30,12 @@ object CsvGeo {
     "(.)*timestamp(.)*", "(.)*datetime(.)*", "(.)*time(.)*", "date$", "^date").map(rx)
   private val crsPatterns = Array("^crs$", "^srsid$", "^epsg$").map(rx)
 
+  /** Does a column NAME look temporal (shared with the .dbf attribute-table
+    * reader — same reference name-pattern semantics)?
+    */
+  def isDateColumnName(name: String): Boolean =
+    timePatterns.exists(_.matcher(name.trim).find())
+
   private def findColumn(header: Array[String], patterns: Array[java.util.regex.Pattern]): Option[Int] = {
     for (p <- patterns; (h, i) <- header.zipWithIndex)
       if (p.matcher(h.trim).find()) return Some(i)
