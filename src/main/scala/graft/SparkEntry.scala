@@ -793,6 +793,31 @@ object SparkEntry {
           col("r._6").as("tbox_start"), col("r._7").as("tbox_end"))
     }),
 
+    // ESRI ASCII grid scan end-to-end: synthesized .asc text payloads
+    // (4×3 grid anchored at the page's closed-form corner, cellsize from d)
+    // parsed by the header reader; oracle rebuilds the corner arithmetic.
+    // (Goldens for the real-world fixture incl. projected-CRS gating live in
+    // GridFormatsSpec; FlatGeobuf likewise golden-only — synthesizing
+    // flatbuffers would mean writing the format, which extraction never does.)
+    "q67_asc_extent" -> ((s, dir) => {
+      val buildUdf = udf((d: Long) => {
+        val cs = (d % 5 + 1) * 0.1
+        s"ncols 4\nnrows 3\nxllcorner ${graft.table.PayloadSpec.lon0(d)}\nyllcorner ${graft.table.PayloadSpec.lat0(d)}\ncellsize $cs\nNODATA_value -9999\n" +
+          (0 until 3).map(_ => "1 2 3 4").mkString("\n")
+      })
+      val parseUdf = udf((text: String) => {
+        val r = graft.parse.GridAscii.readAsc(text).get
+        (r.extent.minLon, r.extent.minLat, r.extent.maxLon, r.extent.maxLat, r.ncols, r.nrows)
+      })
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("doc_id"))
+        .select(col("doc_id"), parseUdf(buildUdf(col("doc_id"))).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("min_lon"), col("r._2").as("min_lat"),
+          col("r._3").as("max_lon"), col("r._4").as("max_lat"),
+          col("r._5").cast("long").as("ncols"), col("r._6").cast("long").as("nrows"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -880,6 +905,13 @@ s AS (SELECT doc_id, chunk_idx,
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   md5(array_to_string(toks, ' ')) AS chunk_md5 FROM s""",
+
+    "q67_asc_extent" -> (EXT +
+      """SELECT d AS doc_id, lon0 AS min_lon, lat0 AS min_lat,
+  lon0 + CAST(4 AS DOUBLE) * ((d % 5 + 1) * CAST(0.1 AS DOUBLE)) AS max_lon,
+  lat0 + CAST(3 AS DOUBLE) * ((d % 5 + 1) * CAST(0.1 AS DOUBLE)) AS max_lat,
+  CAST(4 AS BIGINT) AS ncols, CAST(3 AS BIGINT) AS nrows
+FROM p1"""),
 
     "q66_shapefile_extent" -> (EXT +
       """SELECT d AS doc_id, lon0 AS min_lon, lat0 AS min_lat,
