@@ -170,4 +170,91 @@ object Geo {
   def mercExtentToWgs84(e: Extent): Extent =
     Extent(snapDeg(mercXToLon(e.minLon)), snapDeg(mercYToLat(e.minLat)),
       snapDeg(mercXToLon(e.maxLon)), snapDeg(mercYToLat(e.maxLat)))
+
+  // ---- UTM (Transverse Mercator inverse, Snyder series) ----
+  // Round-3 widening of P4: the reference's own fixtures carry EPSG:25832 /
+  // 326xx UTM coordinates (shapefile, GeoTIFF, LAS). The classical Snyder
+  // inverse series on the WGS84 ellipsoid is accurate to ~1 cm — orders of
+  // magnitude inside the reference tests' 1e-3-degree tolerance. (ETRS89's
+  // GRS80 ellipsoid differs from WGS84 by ~0.1 mm of flattening; 258xx zones
+  // are treated as their 326xx WGS84 twins, like every practical pipeline.)
+
+  private val UtmA = 6378137.0
+  private val UtmF = 1.0 / 298.257223563
+  private val UtmK0 = 0.9996
+
+  /** EPSG code of a supported UTM CRS → (zone, northern)? 326xx = WGS84 N,
+    * 327xx = WGS84 S, 258xx = ETRS89 N (zones 28-38).
+    */
+  def utmZoneOf(epsg: Int): Option[(Int, Boolean)] = {
+    if (epsg >= 32601 && epsg <= 32660) Some((epsg - 32600, true))
+    else if (epsg >= 32701 && epsg <= 32760) Some((epsg - 32700, false))
+    else if (epsg >= 25828 && epsg <= 25838) Some((epsg - 25800, true))
+    else None
+  }
+
+  /** Inverse Transverse Mercator: UTM easting/northing → (lon, lat) degrees. */
+  def utmToLonLat(zone: Int, northern: Boolean, easting: Double, northing: Double): (Double, Double) = {
+    val e2 = UtmF * (2 - UtmF)
+    val ep2 = e2 / (1 - e2)
+    val lon0 = math.toRadians(zone * 6.0 - 183.0)
+    val n0 = if (northern) 0.0 else 10000000.0
+    val m = (northing - n0) / UtmK0
+    val mu = m / (UtmA * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val phi1 = mu +
+      (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sin1 = math.sin(phi1); val cos1 = math.cos(phi1); val tan1 = math.tan(phi1)
+    val c1 = ep2 * cos1 * cos1
+    val t1 = tan1 * tan1
+    val n1 = UtmA / math.sqrt(1 - e2 * sin1 * sin1)
+    val r1 = UtmA * (1 - e2) / math.pow(1 - e2 * sin1 * sin1, 1.5)
+    val d = (easting - 500000.0) / (n1 * UtmK0)
+    val lat = phi1 - (n1 * tan1 / r1) * (d * d / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+    val lon = lon0 + (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cos1
+    (math.toDegrees(lon), math.toDegrees(lat))
+  }
+
+  /** Extent in a supported UTM CRS → WGS84, RASTER contract: the reference's
+    * raster path transforms exactly the two corners (min,min)/(max,max) and
+    * reports them verbatim (verified against its GeoTIFF expectations) — the
+    * true envelope can bulge past this mid-edge, but reproducing the
+    * reference means reproducing its two-corner semantics. Grid-snapped.
+    */
+  def utmExtentToWgs84(epsg: Int, e: Extent): Option[Extent] =
+    utmZoneOf(epsg).map { case (zone, north) =>
+      val (lo0, la0) = utmToLonLat(zone, north, e.minLon, e.minLat)
+      val (lo1, la1) = utmToLonLat(zone, north, e.maxLon, e.maxLat)
+      Extent(snapDeg(math.min(lo0, lo1)), snapDeg(math.min(la0, la1)),
+        snapDeg(math.max(lo0, lo1)), snapDeg(math.max(la0, la1)))
+    }
+
+  /** Extent in a supported UTM CRS → WGS84, VECTOR contract: the reference's
+    * vector path goes through pyproj `transform_bounds`, which DENSIFIES each
+    * edge (21 points) before taking the envelope — graticule lines curve
+    * under TM, so a box straddling the central meridian reaches its extreme
+    * longitudes mid-edge. Verified against the reference's shapefile
+    * expectations. Grid-snapped.
+    */
+  def utmExtentToWgs84Densified(epsg: Int, e: Extent, pts: Int = 21): Option[Extent] =
+    utmZoneOf(epsg).map { case (zone, north) =>
+      var minLon = Double.MaxValue; var minLat = Double.MaxValue
+      var maxLon = Double.MinValue; var maxLat = Double.MinValue
+      for (i <- 0 to pts) {
+        val fx = e.minLon + (e.maxLon - e.minLon) * i / pts
+        val fy = e.minLat + (e.maxLat - e.minLat) * i / pts
+        for ((x, y) <- Seq((fx, e.minLat), (fx, e.maxLat), (e.minLon, fy), (e.maxLon, fy))) {
+          val (lo, la) = utmToLonLat(zone, north, x, y)
+          if (lo < minLon) minLon = lo; if (lo > maxLon) maxLon = lo
+          if (la < minLat) minLat = la; if (la > maxLat) maxLat = la
+        }
+      }
+      Extent(snapDeg(minLon), snapDeg(minLat), snapDeg(maxLon), snapDeg(maxLat))
+    }
 }
