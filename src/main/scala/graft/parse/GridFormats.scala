@@ -40,6 +40,28 @@ object GridAscii {
     } yield AscResult(Extent(xll, yll, xll + nc * cs, yll + nr * cs), nc.toInt, nr.toInt, cs)
 }
 
+/** ESRI world file (.tfw/.wld/.pngw) — the 6-line affine sidecar that
+  * georeferences a raster whose own format carries no geo tags
+  * (A, D, B, E = pixel scales/rotations; C, F = CENTER of the top-left
+  * pixel). Extent needs the raster's pixel dims from the paired image.
+  */
+object WorldFile {
+
+  /** (extent, pixel sizes) from the sidecar + raster dims. */
+  def extent(worldFile: String, width: Int, height: Int): Option[Extent] = {
+    val vals = worldFile.trim.split("\\s+").take(6).flatMap(v =>
+      try Some(v.toDouble) catch { case _: Exception => None })
+    if (vals.length < 6 || width <= 0 || height <= 0) return None
+    val Array(a, d, b, e, c, f) = vals
+    if (d != 0 || b != 0) return None // rotated worldfiles out of scope
+    // C/F are the top-left pixel CENTER: shift by half a pixel to the edge
+    val minX = c - a / 2
+    val maxY = f - e / 2 // e is negative for north-up rasters
+    Some(Extent(math.min(minX, minX + a * width), math.min(maxY, maxY + e * height),
+      math.max(minX, minX + a * width), math.max(maxY, maxY + e * height)))
+  }
+}
+
 /** FlatGeobuf header-envelope reader: 8-byte magic (fgb\x03 fgb\x01), a
   * length-prefixed flatbuffer Header whose field 1 is the layer envelope
   * [minx, miny, maxx, maxy] — the same layer extent OGR reports (the

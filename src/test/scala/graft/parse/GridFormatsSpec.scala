@@ -36,6 +36,21 @@ class GridFormatsSpec extends AnyFunSuite {
     assert(math.abs(e.maxLat - 83.645130) < 1e-6)
   }
 
+  test("worldfile: ungeotagged tif + .tfw sidecar georeferences via the affine") {
+    assume(have(s"$td/worldfile/test_with_world.tif"))
+    val tif = GeoTiff.readTiff(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$td/worldfile/test_with_world.tif"))).get
+    assert(tif.extent === None) // no ModelTiepoint: the tif alone is ungeoreferenced
+    val w = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$td/worldfile/test_with_world.tfw")), "UTF-8")
+    val e = WorldFile.extent(w, tif.width, tif.height).get
+    // sidecar: 0.001/-0.001 deg pixels, top-left center (13.4, 52.502) — Berlin
+    assert(math.abs(e.minLon - (13.4 - 0.0005)) < 1e-9)
+    assert(math.abs(e.maxLat - (52.502 + 0.0005)) < 1e-9)
+    assert(math.abs(e.maxLon - (13.4 - 0.0005 + 0.001 * tif.width)) < 1e-9)
+    assert(graft.geo.Geo.plausibleWgs84(e))
+  }
+
   test("asc: center-registered origin shifts by half a cell; malformed input rejected") {
     val r = GridAscii.readAsc(
       "ncols 10\nnrows 5\nxllcenter 100.5\nyllcenter 20.5\ncellsize 1.0\n1 2 3").get
