@@ -31,19 +31,7 @@ object GeoPackage {
       Some(Extent(bb.getDouble(8), bb.getDouble(24), bb.getDouble(16), bb.getDouble(32)))
     } else {
       // no envelope: the WKB starts right after the 8-byte GPB header
-      Wkt.wkbCoords(java.util.Arrays.copyOfRange(blob, 8, blob.length)).flatMap { cs =>
-        if (cs.isEmpty) None
-        else {
-          var minX = cs(0); var maxX = cs(0); var minY = cs(1); var maxY = cs(1)
-          var i = 2
-          while (i + 1 < cs.length) {
-            if (cs(i) < minX) minX = cs(i); if (cs(i) > maxX) maxX = cs(i)
-            if (cs(i + 1) < minY) minY = cs(i + 1); if (cs(i + 1) > maxY) maxY = cs(i + 1)
-            i += 2
-          }
-          Some(Extent(minX, minY, maxX, maxY))
-        }
-      }
+      Wkt.wkbEnvelope(java.util.Arrays.copyOfRange(blob, 8, blob.length))
     }
   }
 

@@ -70,7 +70,7 @@ object GeoTiff {
     }
     val extent =
       if (tiepoint != null && tiepoint.length >= 6 && scale != null && scale.length >= 2 &&
-        width > 0 && height > 0 && (scale(0) != 0 || scale(1) != 0)) {
+        width > 0 && height > 0 && scale(0) != 0 && scale(1) != 0) {
         val minX = tiepoint(3) - tiepoint(0) * scale(0)
         val maxY = tiepoint(4) + tiepoint(1) * scale(1)
         Some(Extent(minX, maxY - height * scale(1), minX + width * scale(0), maxY))
@@ -84,24 +84,26 @@ object GeoTiff {
       } else None
     // GeoKey directory: header (4 shorts) + keys of 4 shorts each;
     // 2048 = GeographicTypeGeoKey, 3072 = ProjectedCSTypeGeoKey
-    val epsg = Option(geoKeys).flatMap { g =>
-      val keys = g.drop(4).grouped(4).filter(_.length == 4).toSeq
-      keys.collectFirst { case Array(3072, 0, _, v) => v }
-        .orElse(keys.collectFirst { case Array(2048, 0, _, v) => v })
-    }.flatMap {
+    val epsg = {
+      val keys = Option(geoKeys).toSeq
+        .flatMap(_.drop(4).grouped(4).filter(_.length == 4).toSeq)
       // 32767 = user-defined: resolve named UTM CRSs from the ASCII citation
       // (e.g. "PCS Name = ETRS_1989_UTM_Zone_32N|…" → 25832)
-      case 32767 =>
-        val utm = "UTM[ _]?ZONE[ _]?(\\d{1,2})\\s*([NS])".r
-          .findFirstMatchIn(geoAscii.toUpperCase)
-        utm.map { m =>
-          val zone = m.group(1).toInt
-          val up = geoAscii.toUpperCase
-          if (up.contains("ETRS")) 25800 + zone
-          else if (m.group(2) == "S") 32700 + zone
-          else 32600 + zone
-        }
-      case v => Some(v)
+      def resolve(v: Int): Option[Int] = v match {
+        case 32767 =>
+          "UTM[ _]?ZONE[ _]?(\\d{1,2})\\s*([NS])".r
+            .findFirstMatchIn(geoAscii.toUpperCase).map { m =>
+              val zone = m.group(1).toInt
+              if (geoAscii.toUpperCase.contains("ETRS")) 25800 + zone
+              else if (m.group(2) == "S") 32700 + zone
+              else 32600 + zone
+            }
+        case v2 => Some(v2)
+      }
+      // an unresolvable projected key falls back to the geographic key —
+      // GDAL likewise consults every key it can use
+      keys.collectFirst { case Array(3072, 0, _, v) => v }.flatMap(resolve)
+        .orElse(keys.collectFirst { case Array(2048, 0, _, v) => v }.flatMap(resolve))
     }
     Some(TifResult(extent, width, height, epsg, datetime))
   }

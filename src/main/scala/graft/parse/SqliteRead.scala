@@ -98,6 +98,7 @@ object SqliteRead {
         case 7 => val v = bb.getDouble(off); off += 8; v
         case 8 => 0L
         case 9 => 1L
+        case 10 | 11 => null // reserved serial types: no payload bytes, treat as null
         case n if n >= 13 && n % 2 == 1 =>
           val len = ((n - 13) / 2).toInt
           val s = new String(p, off, len, "UTF-8"); off += len; s

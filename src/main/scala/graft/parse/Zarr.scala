@@ -18,17 +18,39 @@ object Zarr {
 
   final case class ZarrResult(extent: Extent, crs: String, nx: Int, ny: Int)
 
-  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+  /** zlib (RFC 1950) decompression; a truncated stream FAILS the read rather
+    * than silently yielding a short coordinate array.
+    */
+  private def inflateZlib(bytes: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(bytes)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) return out.toByteArray
+      require(n > 0 || !inf.needsInput(), "truncated zlib chunk in zarr store")
       out.write(buf, 0, n)
     }
     out.toByteArray
+  }
+
+  /** gzip (RFC 1952) — a DIFFERENT framing than zlib; numcodecs' 'gzip'
+    * writes this, so it must go through GZIPInputStream, not a raw Inflater.
+    */
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def decompress(bytes: Array[Byte], codec: String): Array[Byte] = codec match {
+    case "" => bytes
+    case "zlib" => inflateZlib(bytes)
+    case "gzip" => gunzip(bytes)
+    case other => throw new IllegalArgumentException(s"unsupported zarr codec: $other")
   }
 
   private def decode(bytes: Array[Byte], dtype: String): Array[Double] = {
@@ -55,32 +77,41 @@ object Zarr {
 
   /** Read a 1-D coordinate variable rooted at `prefix` from the store map. */
   private def coordArray(files: Map[String, Array[Byte]], prefix: String): Option[Array[Double]] = {
-    def chunks(keyOf: Int => String, compressed: Boolean, dtype: String): Array[Double] = {
+    // every stored chunk is padded to the full chunk shape, so the
+    // concatenation must be TRIMMED to the declared array shape — otherwise
+    // the last chunk's fill values poison the extent
+    def chunks(keyOf: Int => String, codec: String, dtype: String, shape: Int): Array[Double] = {
       val parts = Iterator.from(0).map(keyOf).takeWhile(files.contains).map { k =>
-        val raw = files(k)
-        decode(if (compressed) inflate(raw) else raw, dtype)
+        decode(decompress(files(k), codec), dtype)
       }.toArray
-      parts.flatten
+      parts.flatten.take(if (shape > 0) shape else Int.MaxValue)
     }
     files.get(s"$prefix/.zarray").flatMap { metaBytes => // v2
       GeoJson.parseJson(new String(metaBytes, "UTF-8")).map { m =>
         val dtype = m.get("dtype").asText()
-        val comp = Option(m.get("compressor")).filter(!_.isNull)
-        val compId = comp.map(c => Option(c.get("id")).map(_.asText()).getOrElse(""))
-        require(compId.forall(Set("zlib", "gzip")), s"unsupported zarr compressor: $compId")
-        chunks(i => s"$prefix/$i", compId.isDefined, dtype)
+        val shape = Option(m.get("shape")).filter(_.isArray).map(_.get(0).asInt()).getOrElse(0)
+        val codec = Option(m.get("compressor")).filter(!_.isNull)
+          .map(c => Option(c.get("id")).map(_.asText()).getOrElse("?")).getOrElse("")
+        chunks(i => s"$prefix/$i", codec, dtype, shape) // decompress() rejects unknown codecs
       }
     }.orElse {
       files.get(s"$prefix/zarr.json").flatMap { metaBytes => // v3
         GeoJson.parseJson(new String(metaBytes, "UTF-8")).map { m =>
           val dtype = m.get("data_type").asText()
-          val gz = Option(m.get("codecs")).exists(_.elements().hasNext) && {
-            val it = m.get("codecs").elements()
-            var found = false
-            while (it.hasNext) if (it.next().get("name").asText() == "gzip") found = true
-            found
-          }
-          chunks(i => s"$prefix/c/$i", gz, dtype)
+          val shape = Option(m.get("shape")).filter(_.isArray).map(_.get(0).asInt()).getOrElse(0)
+          // v3 codec chain: 'bytes' (layout) plus at most one supported
+          // compression codec; anything else must FAIL, not pass through as
+          // raw floats
+          val names = Option(m.get("codecs")).map { cs =>
+            val it = cs.elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().get("name").asText()
+            b.result()
+          }.getOrElse(Seq.empty)
+          val compression = names.filterNot(Set("bytes", "transpose", "endian"))
+          require(compression.forall(_ == "gzip"),
+            s"unsupported zarr v3 codecs: ${compression.mkString(",")}")
+          chunks(i => s"$prefix/c/$i", if (compression.contains("gzip")) "gzip" else "", dtype, shape)
         }
       }
     }.filter(_.nonEmpty)

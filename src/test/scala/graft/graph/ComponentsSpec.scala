@@ -23,6 +23,13 @@ class ComponentsSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("connected components: non-convergence fails loudly instead of returning split clusters") {
+    val chain = (0L until 12L).map(i => (500L + i, 501L + i))
+    val e = intercept[IllegalStateException](
+      Components.connectedComponents(chain.toDF("src", "dst"), maxIter = 3).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components: two big rings merge to their min label") {
     // ring of 60 nodes (diameter 30): stresses iteration count over maxIter default
     val ring = (0L until 60L).map(i => (100L + i, 100L + (i + 1) % 60))

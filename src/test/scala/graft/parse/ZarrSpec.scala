@@ -51,6 +51,43 @@ class ZarrSpec extends AnyFunSuite {
     assert(math.abs(r.extent.maxLat - 52.0) < 1e-6)
   }
 
+  test("zarr v2: zlib chunks, multi-chunk concatenation, and shape-trimmed fill tail") {
+    def zlib(d: Array[Double]): Array[Byte] = {
+      val raw = java.nio.ByteBuffer.allocate(d.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      d.foreach(raw.putDouble)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.array()); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    }
+    def meta(shape: Int, chunk: Int) =
+      s"""{"chunks":[$chunk],"compressor":{"id":"zlib"},"dtype":"<f8","shape":[$shape],"zarr_format":2}"""
+        .getBytes("UTF-8")
+    // X: shape 5, chunks of 4 -> last chunk padded with a poison fill value
+    // that MUST be trimmed away
+    val files = Seq(
+      "X/.zarray" -> meta(5, 4),
+      "X/0" -> zlib(Array(10.0, 10.1, 10.2, 10.3)),
+      "X/1" -> zlib(Array(10.4, -9999.0, -9999.0, -9999.0)),
+      "Y/.zarray" -> meta(2, 2),
+      "Y/0" -> zlib(Array(50.0, 50.1)))
+    val r = Zarr.readStore(files).get
+    assert(r.nx === 5 && r.ny === 2)
+    assert(math.abs(r.extent.minLon - (10.0 - 0.05)) < 1e-9) // fill NOT in the extent
+    assert(math.abs(r.extent.maxLon - (10.4 + 0.05)) < 1e-9)
+    assert(r.crs === "4326") // plausible-WGS84 heuristic
+    // unsupported compressor must fail loudly, not decode garbage
+    val bad = files.map { case (k, v) =>
+      if (k == "X/.zarray")
+        k -> """{"chunks":[4],"compressor":{"id":"blosc"},"dtype":"<f8","shape":[5],"zarr_format":2}""".getBytes("UTF-8")
+      else k -> v
+    }
+    intercept[IllegalArgumentException](Zarr.readStore(bad))
+  }
+
   test("zarr no-crs golden: implausible coordinates do not masquerade as WGS84") {
     assume(have(s"$td/no_crs_v2.zarr"))
     val r = Zarr.readStore(store(s"$td/no_crs_v2.zarr")).get
