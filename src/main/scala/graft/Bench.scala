@@ -184,15 +184,25 @@ object Bench {
       (lows.min / highs.min) / (hi.toDouble / lo)
     }
 
-    // Phase 1: interleaved runs per level, min-of-k per level.
+    // Phase 1: interleaved runs per level, min-of-k per level. Each sample
+    // carries the host's 1-min loadavg before/after the run so a future
+    // reader can attribute a slow wall to co-tenant load without guessing
+    // (the r3 headline halved and the artifact couldn't say why).
+    def loadavg: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val times = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
+    val loads = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
     def one(n: Int): Unit = {
       val s = session(n)
       try {
+        val lb = loadavg
         val t0 = System.nanoTime()
         flagship(s, pagesPath, sfDir)
         times.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) +=
           (System.nanoTime() - t0) / 1e9
+        loads.getOrElseUpdate(n, scala.collection.mutable.ArrayBuffer.empty) += ((lb, loadavg))
       } finally s.stop()
     }
     // N→4N pairs, LOWEST levels only. A single JVM shares one heap + memory
@@ -230,11 +240,16 @@ object Bench {
     def solidPairs: Seq[(Int, Int)] = measuredPairs.filter(p =>
       times(p._1).size >= 2 && times(p._2).size >= 2)
     def bestPair: (Int, Int) = {
-      // 1st choice: a CLEARED pair — ≥2 samples per level AND efficiency
-      // inside the plausibility window. An uncleared pair is only ever
-      // reported (flagged noise_inflated) when no pair cleared within budget.
+      // 1st choice: the PRE-REGISTERED primary pair when it cleared —
+      // picking maxBy(eff) over all cleared pairs is an upward selection
+      // bias (multiple comparisons). Other cleared pairs are a fallback
+      // only when the primary didn't clear; every pair's efficiency is
+      // reported in `pairs` so the selection is visible either way. An
+      // uncleared pair is only ever reported (flagged noise_inflated)
+      // when no pair cleared within budget.
       val cleared2 = solidPairs.filter(p => inRange(effOf(p)))
-      if (cleared2.nonEmpty) cleared2.maxBy(effOf)
+      if (cleared2.contains(primary)) primary
+      else if (cleared2.nonEmpty) cleared2.maxBy(effOf)
       else {
         val pool = if (solidPairs.nonEmpty) solidPairs else measuredPairs
         if (pool.isEmpty) primary else pool.maxBy(score)
@@ -244,6 +259,19 @@ object Bench {
       times.toSeq.sortBy(_._1).map { case (n, ts) =>
         s""""t$n":${ts.map(v => f"$v%.2f").mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
+    def loadsJson: String =
+      loads.toSeq.sortBy(_._1).map { case (n, ls) =>
+        s""""t$n":${ls.map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+    def pairsJson: String =
+      measuredPairs.map { p =>
+        val e = effOf(p)
+        val cl = solidPairs.contains(p) && inRange(e)
+        s"""{"lo":${p._1},"hi":${p._2},"eff":${f"$e%.3f"},"cleared":$cl,"samples":[${times(p._1).size},${times(p._2).size}]}"""
+      }.mkString("[", ",", "]")
+    // set after phase 2: queries whose wall exceeded 1.5x their best-known
+    // wall from prior bench invocations at the same (sf, cpus)
+    @volatile var regressedJson: String = "[]"
     def summaryJson(queries: String, totalSec: Option[Double]): String = {
       val (lo, hi) = bestPair
       val eff = effOf(bestPair)
@@ -251,14 +279,17 @@ object Bench {
       val secLow = times(lo).min; val secHigh = times(hi).min
       val thrLow = nPages / secLow; val thrHigh = nPages / secHigh
       val thrBest = nPages / times(times.keys.max).min
+      val headlineSamples = times(times.keys.max).size
       s"""{"metric":"spatial-join + tiling throughput","value":${f"$thrBest%.1f"},"unit":"pages/sec"""" +
         s""","queries":$queries,"sf":"$sfDir","pages":$nPages""" +
+        s""","headline_threads":${times.keys.max},"headline_samples":$headlineSamples""" +
         s""","throughput_low":{"threads":$lo,"sec":${f"$secLow%.2f"},"pages_per_sec":${f"$thrLow%.1f"}}""" +
         s""","throughput_high":{"threads":$hi,"sec":${f"$secHigh%.2f"},"pages_per_sec":${f"$thrHigh%.1f"}}""" +
         s""","scaling_efficiency":${f"$eff%.3f"},"kernel_scaling_efficiency":${f"$kernelEff%.3f"}""" +
         s""","scaling_cleared":$isCleared""" +
         (if (!isCleared) s""","noise_inflated":true""" else "") +
-        s""","method":"interleaved min-of-k","runs":$runsJson""" +
+        s""","method":"interleaved min-of-k","runs":$runsJson,"load":$loadsJson""" +
+        s""","pairs":$pairsJson,"regressed":$regressedJson""" +
         totalSec.map(t => s""","queries_total_sec":${f"$t%.1f"}""").getOrElse("") + "}"
     }
     // cleared = some pair has at least TWO samples per level (a min over one
@@ -288,25 +319,55 @@ object Bench {
       "q01_extract_extent", "q04_bbox_merge", "q07_pip_join", "q08_knn_join",
       "q10_tiles", "q17_dedup_exact", "q22_ann_topk", "q23_minhash_pairs",
       "q39_media_features")
-    val spark = session(cpus)
-    // share the parse stage across the headline queries (first query pays it)
-    System.setProperty("graft.cacheExtracted", "true")
-    // wall-budget guard: a co-tenant load spike must not blow the driver's
-    // window — unstarted or failed queries report -1 (explicit error marker)
-    val results = headline.map { name =>
-      if (elapsed > deadlineSec - 30) name -> -1.0
-      else {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
+    // one pass = a fresh session where the first extraction-based query pays
+    // the shared parse+cache stage — every pass is wall-comparable to every
+    // other pass (and to prior rounds' single-pass numbers)
+    def queryPass(): Seq[(String, Double)] = {
+      val spark = session(cpus)
+      // share the parse stage across the headline queries (first query pays it)
+      System.setProperty("graft.cacheExtracted", "true")
+      // wall-budget guard: a co-tenant load spike must not blow the driver's
+      // window — unstarted or failed queries report -1 (explicit error marker)
+      val r = headline.map { name =>
+        if (elapsed > deadlineSec - 30) name -> -1.0
+        else {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => name -> -1.0 }
+        }
       }
+      spark.stop()
+      r
     }
-    spark.stop()
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // best-known per-query walls persist across bench invocations (keyed by
+    // sf dir + thread count) so a wall >1.5x its best-known is flagged
+    // `regressed` in the JSON instead of silently shifting the headline
+    val bestFile = java.nio.file.Paths.get("bench_best.properties")
+    val bestProps = new java.util.Properties()
+    if (java.nio.file.Files.exists(bestFile))
+      try { val in = java.nio.file.Files.newInputStream(bestFile); try bestProps.load(in) finally in.close() }
+      catch { case _: Throwable => () }
+    def bestKey(q: String): String = s"$sfDir|t$cpus|$q"
+    def bestOf(q: String): Option[Double] =
+      Option(bestProps.getProperty(bestKey(q))).flatMap(s => scala.util.Try(s.toDouble).toOption)
+    def refreshQueryArtifacts(walls: Seq[(String, Double)]): (String, Double) = {
+      val regressed = walls.collect { case (k, v) if v > 0 && bestOf(k).exists(b => v > 1.5 * b) => k }
+      regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      walls.foreach { case (k, v) =>
+        if (v > 0 && bestOf(k).forall(v < _)) bestProps.setProperty(bestKey(k), f"$v%.3f")
+      }
+      try {
+        val out = java.nio.file.Files.newOutputStream(bestFile)
+        try bestProps.store(out, "best-known per-query walls (graft bench)") finally out.close()
+      } catch { case _: Throwable => () }
+      val total = walls.map(_._2).filter(_ >= 0).sum
+      (walls.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"), total)
+    }
+    var walls = queryPass()
+    var (qs, total) = refreshQueryArtifacts(walls)
     partialJson = summaryJson(qs, Some(total))
 
     // Phase 3: scaling rounds with whatever budget remains (the watchdog
@@ -331,6 +392,30 @@ object Bench {
         partialJson = summaryJson(qs, Some(total))
       }
       round += 1
+    }
+
+    // Phase 4: the headline `value` level gets the SAME min-of-k rigor the
+    // scaling pairs get — once a pair clears, the remaining budget re-samples
+    // full `cpus` up to k=6 total, so the citable throughput is a min over
+    // several windows rather than hostage to one noisy one (round-3 lesson:
+    // a 2-sample t32 min under co-tenant load halved the reported number).
+    while (times.getOrElse(cpus, scala.collection.mutable.ArrayBuffer.empty[Double]).size < 6 &&
+           elapsed < scalingBudget) {
+      one(cpus)
+      partialJson = summaryJson(qs, Some(total))
+    }
+
+    // Phase 5: a second per-query pass in a FRESH session if budget remains
+    // (each pass pays the shared parse once, so passes are comparable);
+    // per-query walls become min-of-passes — the same quiet-window estimator
+    // as the level walls. ~20s at sf0.1/t32.
+    if (elapsed < scalingBudget - 40) {
+      val second = queryPass()
+      walls = walls.zip(second).map { case ((k, a), (_, b)) =>
+        k -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
+      val r = refreshQueryArtifacts(walls)
+      qs = r._1; total = r._2
     }
     emit(summaryJson(qs, Some(total)))
     finished = true

@@ -177,19 +177,50 @@ object SparkEntry {
         .select(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"),
           col("cnt"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))),
 
-    // R2 convex-hull merge over REAL per-payload hull vertices (group hull of
-    // many payloads is not SQL-expressible → rows-only; the per-payload hull
-    // itself is oracle-checked by q44)
+    // R2 convex-hull merge over REAL per-payload hull vertices, under a
+    // BOUNDS oracle (round-4; the closed-form sibling q52 stays value-exact):
+    // the merged hull's area/vertices are not SQL-expressible, but three
+    // mathematical invariants of a correct hull-of-union ARE predictable —
+    //   (a) area ∈ [max member hull area, group envelope area],
+    //   (b) every output vertex ∈ union of member hull vertices (convex hull
+    //       never synthesizes points — except the documented ±1e-10 degenerate
+    //       promotion, excused by the area≤1e-18 escape),
+    //   (c) a group with a 2-D envelope yields a ring of ≥3 vertices —
+    // so the query emits the booleans and the oracle predicts all-TRUE per
+    // group. The numeric hull values themselves stay covered by q44/q52 and
+    // AggregatorsSpec.
     "q11_hull_merge" -> ((s, dir) => {
       val areaUdf = udf((ring: Seq[Double]) => {
         val pts = ring.grouped(2).map(p => (p(0), p(1))).toArray
         graft.geo.Geo.ringArea(pts)
       })
-      extracted(s, dir).filter(col("min_lon").isNotNull)
-        .groupBy((col("d") % 97).as("g"))
-        .agg(Aggregators.hullMerge(col("hull")).as("hull"))
-        .select(col("g"), (size(col("hull")) / 2).cast("long").as("n_vertices"),
-          areaUdf(col("hull")).as("area"))
+      val base = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select((col("d") % 97).as("g"), col("hull"),
+          col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+      val merged = base.groupBy("g")
+        .agg(Aggregators.hullMerge(col("hull")).as("mhull"),
+          max(areaUdf(col("hull"))).as("max_member_area"),
+          min("min_lon").as("e0"), min("min_lat").as("e1"),
+          max("max_lon").as("e2"), max("max_lat").as("e3"))
+      def vertsOf(df: DataFrame, hullCol: String) = df.select(col("g"),
+        explode(transform(sequence(lit(0), (size(col(hullCol)) / 2).cast("int") - 1),
+          i => struct(element_at(col(hullCol), i * 2 + 1).as("x"),
+            element_at(col(hullCol), i * 2 + 2).as("y")))).as("v"))
+        .select(col("g"), col("v.x").as("x"), col("v.y").as("y"))
+      // hull vertices are verbatim copies of input vertices → exact-equality
+      // anti join; distinct first so the join is duplicate-proof
+      val missing = vertsOf(merged, "mhull")
+        .join(vertsOf(base, "hull").distinct(), Seq("g", "x", "y"), "left_anti")
+        .groupBy("g").agg(count(lit(1)).as("n_missing"))
+      merged.join(missing, Seq("g"), "left")
+        .select(col("g"),
+          (areaUdf(col("mhull")) >= col("max_member_area") - 1e-9 &&
+            areaUdf(col("mhull")) <=
+              (col("e2") - col("e0")) * (col("e3") - col("e1")) + 1e-9).as("area_in_bounds"),
+          (coalesce(col("n_missing"), lit(0L)) === 0 ||
+            areaUdf(col("mhull")) <= 1e-18).as("verts_subset"),
+          when(col("e2") > col("e0") && col("e3") > col("e1"), size(col("mhull")) / 2 >= 3)
+            .otherwise(size(col("mhull")) / 2 >= 1).as("n_vertices_ok"))
     }),
 
     // X1/X4 WKT rendering (point detection R8 included)
@@ -818,6 +849,27 @@ object SparkEntry {
           col("r._5").cast("long").as("ncols"), col("r._6").cast("long").as("nrows"))
     }),
 
+    // JPEG2000 scan end-to-end: synthesized GMLJP2 .jp2 binary payloads
+    // (4×3 grid anchored at the page's closed-form corner, exact-binary cell
+    // sizes) parsed by the pure-JVM box-walk reader (reference: .jp2 via
+    // GDAL, handle_raster.py; golden vs the reference's own
+    // jpeg2000/MSK_SNWPRB_60m.jp2 incl. the UTM 32618 → 4326 two-corner
+    // transform in Jp2Spec); the oracle rebuilds the grid arithmetic
+    "q68_jp2_extent" -> ((s, dir) => {
+      val parseUdf = udf((jp2: Array[Byte]) => {
+        val r = graft.parse.Jp2.readJp2(jp2).get
+        val e = graft.parse.Jp2.extentWgs84(r).get
+        (e.minLon, e.minLat, e.maxLon, e.maxLat, r.width, r.height, r.epsg.get)
+      })
+      graft.table.Jp2Synth.jp2s(s, dir)
+        .select(col("doc_id"), parseUdf(col("jp2")).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("min_lon"), col("r._2").as("min_lat"),
+          col("r._3").as("max_lon"), col("r._4").as("max_lat"),
+          col("r._5").cast("long").as("width"), col("r._6").cast("long").as("height"),
+          col("r._7").cast("long").as("epsg"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -911,6 +963,21 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
   lon0 + CAST(4 AS DOUBLE) * ((d % 5 + 1) * CAST(0.1 AS DOUBLE)) AS max_lon,
   lat0 + CAST(3 AS DOUBLE) * ((d % 5 + 1) * CAST(0.1 AS DOUBLE)) AS max_lat,
   CAST(4 AS BIGINT) AS ncols, CAST(3 AS BIGINT) AS nrows
+FROM p1"""),
+
+    // bounds oracle: every invariant boolean must be TRUE for every group
+    // that has at least one extent-bearing member (see q11's query comment)
+    "q11_hull_merge" -> (EXT +
+      """SELECT DISTINCT d % 97 AS g, TRUE AS area_in_bounds,
+  TRUE AS verts_subset, TRUE AS n_vertices_ok
+FROM ext WHERE min_lon IS NOT NULL"""),
+
+    "q68_jp2_extent" -> (EXT +
+      """SELECT d AS doc_id, lon0 AS min_lon, lat0 AS min_lat,
+  lon0 + CAST(4 AS DOUBLE) * ((d % 5 + 1) * CAST(0.25 AS DOUBLE)) AS max_lon,
+  lat0 + CAST(3 AS DOUBLE) * ((d % 7 + 1) * CAST(0.125 AS DOUBLE)) AS max_lat,
+  CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+  CAST(4326 AS BIGINT) AS epsg
 FROM p1"""),
 
     "q66_shapefile_extent" -> (EXT +
