@@ -33,16 +33,24 @@ object SparkEntry {
     */
   private val extractedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // sessions that already carry the eviction listener — one listener per
+  // session, not per (session, dir) cache entry
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
   private def extracted(s: SparkSession, dir: String): DataFrame =
     if (sys.props.get("graft.cacheExtracted").contains("true"))
       extractedCache.getOrElseUpdate((s, dir), {
         // evict with the owning session — a long-lived multi-session service
         // would otherwise accumulate cached plans for stopped sessions
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            extractedCache.filterInPlace { case ((sess, _), _) => sess != s }
-        })
+        if (evictionHooked.add(s))
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              extractedCache.filterInPlace { case ((sess, _), _) => sess != s }
+              evictionHooked.remove(s)
+            }
+          })
         Extractor.extract(Pages.pages(s, dir)).toDF().cache()
       })
     else Extractor.extract(Pages.pages(s, dir)).toDF()
@@ -334,7 +342,22 @@ object SparkEntry {
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
         .unionByName(base.filter(col("doc_id") % 25 === 5)
           .select(col("doc_id").as("doc_a"), (col("doc_id") + 3000000L).as("doc_b"), lit("rep").as("kind")))
-      emitted.join(planted, Seq("doc_a", "doc_b")).select("doc_a", "doc_b", "kind")
+      // two-sided like q23 (round-4): planted rep pairs must be emitted AND
+      // every emitted pair must honor SimHash's ADVERTISED contract — the
+      // recomputed (independent of the bucket-join path) hash distance is
+      // ≤ maxHamming. A Jaccard/cosine floor is the wrong metric here: the
+      // synthetic corpus draws from a small vocabulary, so random doc pairs
+      // reach token-cosine 0.80 — legitimately inside SimHash's similarity
+      // regime — while a broken bucket join flooding arbitrary pairs WOULD
+      // violate the hamming bound and surface as 'badpair' rows (oracle red)
+      val sha = docsDup(s, dir).select(col("doc_id"), TextOps.simhashUdf(col("text")).as("sh"))
+      emitted
+        .join(sha.select(col("doc_id").as("doc_a"), col("sh").as("_sa")), Seq("doc_a"))
+        .join(sha.select(col("doc_id").as("doc_b"), col("sh").as("_sb")), Seq("doc_b"))
+        .withColumn("_h", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+        .join(planted, Seq("doc_a", "doc_b"), "left")
+        .filter(col("kind").isNotNull || col("_h") > 3)
+        .select(col("doc_a"), col("doc_b"), coalesce(col("kind"), lit("badpair")).as("kind"))
     }),
 
     // dedup: exact n-gram Jaccard over a closed-form candidate-pair set

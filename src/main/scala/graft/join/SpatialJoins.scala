@@ -98,6 +98,10 @@ object SpatialJoins {
       .withColumn("_qcell", qcellUdf(col("qlat"), col("qlon"))).cache()
     val maxR = 1 << zoom
     var acc: DataFrame = null
+    // per-round doneRows caches are bounded by ≤ zoom+1 rounds, but they must
+    // not outlive the call: collect them and release after the final union is
+    // materialized (round-4 cleanup)
+    val doneCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1
     var done = remaining.isEmpty
     while (!done) {
@@ -121,6 +125,7 @@ object SpatialJoins {
       val doneRows = topk.join(finals, Seq("qid"), "left_semi")
         .select("qid", "rank", "pid", "dist2").cache()
       doneRows.count() // materialize before remaining/pts caches churn
+      doneCaches += doneRows
       acc = if (acc == null) doneRows else acc.unionByName(doneRows)
       val next = remaining.join(finals, Seq("qid"), "left_anti").cache()
       val nLeft = next.count()
@@ -134,7 +139,14 @@ object SpatialJoins {
     remaining.unpersist()
     pts.unpersist()
     if (acc == null) Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "pid", "dist2")
-    else acc
+    else {
+      // materialize the union into ONE checkpoint, then release every
+      // per-round cache — callers get a lineage-free result and the call
+      // leaves no lingering cached RDDs behind (asserted in JoinsSpec)
+      val out = acc.localCheckpoint(true)
+      doneCaches.foreach(_.unpersist(false))
+      out
+    }
   }
 
   def knnJoin(queries: Seq[(Long, Double, Double)], points: DataFrame, k: Int,

@@ -124,6 +124,10 @@ object Extract {
       val cs = XmlGeo.gpxCoordArray(payload)
       return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)
     }
+    if (XmlGeo.looksLikeOsm(payload)) {
+      val cs = XmlGeo.osmCoordArray(payload)
+      return out("vector", Geo.envelope(cs), timesOf(XmlGeo.osmTimeValues(payload)), verts = cs)
+    }
     if (XmlGeo.looksLikeGml(payload)) {
       val cs = XmlGeo.gmlCoordArray(payload)
       return out("vector", Geo.envelope(cs), timesOf(XmlGeo.timeValues(payload)), verts = cs)

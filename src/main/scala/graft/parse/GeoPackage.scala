@@ -35,7 +35,12 @@ object GeoPackage {
     }
   }
 
-  def read(bytes: Array[Byte]): Option[GpkgResult] = {
+  def read(bytes: Array[Byte]): Option[GpkgResult] =
+    // malformed-input contract: corrupt cell pointers / record headers in the
+    // B-tree walk fail the row (None), never the task
+    try readImpl(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readImpl(bytes: Array[Byte]): Option[GpkgResult] = {
     SqliteRead.open(bytes).flatMap { db =>
       val tabs = SqliteRead.tables(db)
       for {

@@ -16,7 +16,12 @@ object GeoTiff {
   final case class TifResult(extent: Option[Extent], width: Int, height: Int,
                              epsg: Option[Int], datetime: Option[String])
 
-  def readTiff(bytes: Array[Byte]): Option[TifResult] = {
+  def readTiff(bytes: Array[Byte]): Option[TifResult] =
+    // malformed-input contract: declared counts/value offsets outside the
+    // buffer fail the row (None), never the task
+    try readTiffImpl(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readTiffImpl(bytes: Array[Byte]): Option[TifResult] = {
     if (bytes.length < 8) return None
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN

@@ -70,7 +70,11 @@ object WorldFile {
   */
 object FlatGeobuf {
 
-  def readEnvelope(bytes: Array[Byte]): Option[Extent] = {
+  def readEnvelope(bytes: Array[Byte]): Option[Extent] =
+    // malformed-input contract: out-of-range flatbuffer offsets → None
+    try readEnvelopeImpl(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readEnvelopeImpl(bytes: Array[Byte]): Option[Extent] = {
     if (bytes == null || bytes.length < 16) return None
     if (!(bytes(0) == 'f' && bytes(1) == 'g' && bytes(2) == 'b' &&
       bytes(4) == 'f' && bytes(5) == 'g' && bytes(6) == 'b')) return None

@@ -24,7 +24,13 @@ object Shapefile {
     * 8 multipoint (+ their Z/M variants 11/13/15/18, whose XY block layout is
     * identical up front).
     */
-  def readShp(bytes: Array[Byte]): Option[ShpResult] = {
+  def readShp(bytes: Array[Byte]): Option[ShpResult] =
+    // malformed-input contract (matches the WAV/tar readers): a payload whose
+    // declared counts/offsets point outside the buffer fails the ROW (None),
+    // never the task — these readers meet untrusted archive members
+    try readShpImpl(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readShpImpl(bytes: Array[Byte]): Option[ShpResult] = {
     if (bytes.length < 100) return None
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     if (be.getInt(0) != 9994) return None // file code
@@ -60,7 +66,10 @@ object Shapefile {
         case _ => () // null / unsupported: contributes no vertices
       }
       n += 1
-      off = content + contentWords * 2
+      // a non-positive content length would stall the walk — treat as
+      // truncation and stop (partial records already collected stand)
+      if (contentWords <= 0) off = bytes.length
+      else off = content + contentWords * 2
     }
     Some(ShpResult(ext, verts.result(), shapeType, n))
   }
@@ -68,7 +77,10 @@ object Shapefile {
   final case class DbfField(name: String, ftype: Char, length: Int)
 
   /** Parse a .dbf attribute table into (fields, rows-of-strings). */
-  def readDbf(bytes: Array[Byte]): Option[(Array[DbfField], Array[Array[String]])] = {
+  def readDbf(bytes: Array[Byte]): Option[(Array[DbfField], Array[Array[String]])] =
+    try readDbfImpl(bytes) catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readDbfImpl(bytes: Array[Byte]): Option[(Array[DbfField], Array[Array[String]])] = {
     if (bytes.length < 32) return None
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nRec = le.getInt(4)

@@ -63,6 +63,57 @@ object XmlGeo {
     buf.toArray
   }
 
+  /** OSM / Overpass-API XML (reference: testdata/osm/overpass.xml, read
+    * through OGR's OSM driver): geometry lives exclusively on `<node lat=
+    * lon=>` elements (ways/relations reference nodes by id), so the envelope
+    * over all node coordinates IS the layer envelope; `<bounds>` boxes, when
+    * present, widen it the same way OGR's spatial filter reports them.
+    */
+  def looksLikeOsm(s: String): Boolean = {
+    val t = s.take(4096)
+    t.contains("<osm") && (t.contains("generator=") || t.contains("<node") || t.contains("<way"))
+  }
+
+  private val osmNode = """<node\s+[^>]*>""".r
+  private val osmBounds = """<bounds\s+[^>]*>""".r
+  private val minLatAttr = """minlat\s*=\s*["']([-+0-9.eE]+)["']""".r
+  private val minLonAttr = """minlon\s*=\s*["']([-+0-9.eE]+)["']""".r
+  private val maxLatAttr = """maxlat\s*=\s*["']([-+0-9.eE]+)["']""".r
+  private val maxLonAttr = """maxlon\s*=\s*["']([-+0-9.eE]+)["']""".r
+
+  def osmCoordArray(s: String): Array[Double] = {
+    val buf = ArrayBuffer.empty[Double]
+    for (m <- osmNode.findAllMatchIn(s)) {
+      val tag = m.matched
+      (latAttr.findFirstMatchIn(tag), lonAttr.findFirstMatchIn(tag)) match {
+        case (Some(la), Some(lo)) =>
+          try { buf += lo.group(1).toDouble; buf += la.group(1).toDouble }
+          catch { case _: NumberFormatException => }
+        case _ =>
+      }
+    }
+    for (m <- osmBounds.findAllMatchIn(s)) {
+      val tag = m.matched
+      (minLonAttr.findFirstMatchIn(tag), minLatAttr.findFirstMatchIn(tag),
+        maxLonAttr.findFirstMatchIn(tag), maxLatAttr.findFirstMatchIn(tag)) match {
+        case (Some(a), Some(b), Some(c), Some(d)) =>
+          try {
+            buf += a.group(1).toDouble; buf += b.group(1).toDouble
+            buf += c.group(1).toDouble; buf += d.group(1).toDouble
+          } catch { case _: NumberFormatException => }
+        case _ =>
+      }
+    }
+    buf.toArray
+  }
+
+  def osmEnvelope(s: String): Option[Extent] = Geo.envelope(osmCoordArray(s))
+
+  /** OSM element `timestamp=` attributes (ISO dateTime). */
+  private val osmTimestamp = """timestamp\s*=\s*["']([^"']+)["']""".r
+  def osmTimeValues(s: String): Seq[String] =
+    osmTimestamp.findAllMatchIn(s).map(_.group(1).trim).toSeq
+
   def gmlCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
     for (m <- gmlPos.findAllMatchIn(s)) {

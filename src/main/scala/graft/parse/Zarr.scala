@@ -123,10 +123,15 @@ object Zarr {
   private def storeEpsg(files: Map[String, Array[Byte]]): Option[Int] = {
     // the WKT lives inside a JSON string, so its quotes appear escaped (\")
     val re = "ID\\[\\\\?\"EPSG\\\\?\",(\\d+)\\]".r
-    files.collect {
+    // sort candidates by path: `files` is an unordered Map, and two attrs
+    // files carrying different _CRS codes must resolve deterministically
+    files.toSeq.collect {
       case (name, bytes) if name.endsWith(".zattrs") || name.endsWith("zarr.json") =>
-        new String(bytes, "UTF-8")
-    }.flatMap(s => if (s.contains("_CRS")) re.findAllMatchIn(s).map(_.group(1).toInt).toSeq.lastOption else None)
+        (name, new String(bytes, "UTF-8"))
+    }.sortBy(_._1)
+      .flatMap { case (_, s) =>
+        if (s.contains("_CRS")) re.findAllMatchIn(s).map(_.group(1).toInt).toSeq.lastOption else None
+      }
       .headOption
   }
 

@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class ComponentsSpec extends AnyFunSuite {
@@ -26,8 +27,41 @@ class ComponentsSpec extends AnyFunSuite {
   test("connected components: non-convergence fails loudly instead of returning split clusters") {
     val chain = (0L until 12L).map(i => (500L + i, 501L + i))
     val e = intercept[IllegalStateException](
-      Components.connectedComponents(chain.toDF("src", "dst"), maxIter = 3).collect())
+      Components.connectedComponents(chain.toDF("src", "dst"), maxIter = 1).collect())
     assert(e.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException](
+      Components.connectedComponentsMinLabel(chain.toDF("src", "dst"), maxIter = 3).collect())
+    assert(e2.getMessage.contains("did not converge"))
+  }
+
+  test("star scheme ≡ min-label on chain/star/ring/random graphs (parity property)") {
+    val rnd = new java.util.Random(4242)
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 9L).map(i => (700L + i, 701L + i)),            // chain
+      (1L to 8L).map(i => (800L, 800L + i)),                   // star
+      (0L until 10L).map(i => (900L + i, 900L + (i + 1) % 10)), // ring
+      Seq.fill(40)((1000L + rnd.nextInt(25), 1000L + rnd.nextInt(25)))
+        .filter(p => p._1 != p._2)                             // random multigraph
+    )
+    for (g <- graphs) {
+      val df = g.toDF("src", "dst")
+      val a = Components.connectedComponents(df).as[(Long, Long)].collect().toMap
+      val b = Components.connectedComponentsMinLabel(df).as[(Long, Long)].collect().toMap
+      assert(a === b, s"star vs min-label disagreement on ${g.take(5)}...")
+    }
+  }
+
+  test("chain of 1000 converges in O(log n) star rounds, not O(diameter)") {
+    val chain = (0L until 999L).map(i => (5000L + i, 5001L + i))
+    val (stars, rounds) = Components.starRounds(chain.toDF("src", "dst"), maxIter = 50)
+    // diameter is 999; log2(1000) ≈ 10 — the alternation must land well under
+    // any diameter-proportional count
+    assert(rounds <= 20, s"took $rounds rounds")
+    val labels = stars.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(stars.select(col("v").as("node"), col("v").as("label")))
+      .distinct().as[(Long, Long)].collect()
+    assert(labels.length === 1000)
+    assert(labels.forall(_._2 === 5000L))
   }
 
   test("connected components: two big rings merge to their min label") {

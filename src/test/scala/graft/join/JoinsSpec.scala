@@ -134,9 +134,15 @@ class JoinsSpec extends AnyFunSuite {
       (i.toLong, (i * 17 % 340).toDouble - 170.0, (i * 11 % 160).toDouble - 80.0)
     } ++ Seq((100L, -179.9, -84.9), (101L, 7.5, 51.5))
     val qDf = queries.toDF("qid", "qlon", "qlat")
-    val got = SpatialJoins.knnJoinBig(qDf, ptsDf, 5)
+    // cache hygiene: the call must release every per-round cache it creates;
+    // only the checkpointed result frame may remain persisted
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val gotDf = SpatialJoins.knnJoinBig(qDf, ptsDf, 5)
+    val got = gotDf
       .select("qid", "rank", "pid").as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.size <= 1, s"knnJoinBig left ${leaked.size} cached RDDs behind")
     val expected = queries.map { case (qid, qlon, qlat) =>
       qid -> pts.map { case (pid, lon, lat, _) =>
         (pid, (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat))

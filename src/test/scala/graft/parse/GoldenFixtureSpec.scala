@@ -136,4 +136,26 @@ class GoldenFixtureSpec extends AnyFunSuite {
     val he = graft.geo.Geo.envelope(ex.hull.get)
     assertBBox(he, 7.601680, 51.948814, 7.647256, 51.974624)
   }
+
+  test("OSM Overpass XML: node-set envelope + timestamp tbox + dispatch " +
+    "(reference testdata/osm/overpass.xml, read via OGR's OSM driver)") {
+    val s = fixture("osm/overpass.xml")
+    assert(XmlGeo.looksLikeOsm(s))
+    // expected envelope derived from the fixture's own 123 <node> elements
+    // (closed-form over the fixture bytes, the ASC-golden style): lon
+    // [-1.55849, -1.5342794], lat [53.795194, 53.8096008]
+    assertBBox(XmlGeo.osmEnvelope(s), -1.55849, 53.795194, -1.5342794, 53.8096008)
+    val dates = DateGuess.parseColumn(XmlGeo.osmTimeValues(s))
+    assert(dates.nonEmpty)
+    assert(dates.min.toString === "2007-09-15" && dates.max.toString === "2016-12-28")
+    // end-to-end dispatch: the full chain must route it to the vector handler
+    val ex = Extract.extract(s.getBytes("UTF-8"), "", "en")
+    assert(ex.handler === "vector")
+    assert(math.abs(ex.minLon.get - -1.55849) < tol && math.abs(ex.maxLat.get - 53.8096008) < tol)
+    assert(ex.tboxStart === Some("2007-09-15") && ex.tboxEnd === Some("2016-12-28"))
+    // <bounds> widening + malformed tolerance
+    val b = XmlGeo.osmCoordArray("""<osm><bounds minlat="1.0" minlon="2.0" maxlat="3.0" maxlon="4.0"/><node lat="x" lon="y"/></osm>""")
+    assert(b.toSeq === Seq(2.0, 1.0, 4.0, 3.0))
+    assert(XmlGeo.osmCoordArray("<osm></osm>").isEmpty)
+  }
 }

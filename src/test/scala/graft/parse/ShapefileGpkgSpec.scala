@@ -66,4 +66,36 @@ class ShapefileGpkgSpec extends AnyFunSuite {
     assert(r.tbox === Some(("2021-01-05", "2021-01-05")))
     assert(r.srsId === 4326L)
   }
+
+  test("malformed-input contract: truncated/corrupted payloads fail the row (None), never throw") {
+    assume(have(s"$td/shapefile/gis_osm_buildings_a_free_1.shp"))
+    val shp = bytes(s"$td/shapefile/gis_osm_buildings_a_free_1.shp")
+    // truncation at several depths, incl. mid-record
+    for (n <- Seq(101, 150, shp.length / 2, shp.length - 3)) {
+      Shapefile.readShp(shp.take(n)) // must not throw (None or partial both fine)
+    }
+    // corrupted point count: make the first record claim an absurd numPoints
+    val corrupt = shp.clone()
+    java.nio.ByteBuffer.wrap(corrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(148, Int.MaxValue / 8)
+    assert(Shapefile.readShp(corrupt).isEmpty)
+    // zero-length record must not stall the walk (loop-advance guard)
+    val stall = shp.clone()
+    java.nio.ByteBuffer.wrap(stall).order(java.nio.ByteOrder.BIG_ENDIAN).putInt(104, 0)
+    Shapefile.readShp(stall) // terminates
+    assert(Shapefile.readDbf("dBASE?".getBytes ++ Array.fill[Byte](40)(0x7f)).isEmpty
+      || true) // no-throw is the contract
+    if (have(s"$td/geopackage/nc.gpkg")) {
+      val gpkg = bytes(s"$td/geopackage/nc.gpkg")
+      for (n <- Seq(120, 4096, gpkg.length / 3)) GeoPackage.read(gpkg.take(n)) // no-throw
+    }
+    if (have(s"$td/flatgeobuf/countries.fgb")) {
+      val fgb = bytes(s"$td/flatgeobuf/countries.fgb")
+      for (n <- Seq(17, 40, fgb.length / 2)) FlatGeobuf.readEnvelope(fgb.take(n)) // no-throw
+    }
+    if (have(s"$td/tif/wf_100m_klas.tif")) {
+      val tif = bytes(s"$td/tif/wf_100m_klas.tif")
+      for (n <- Seq(9, 64, tif.length / 2)) GeoTiff.readTiff(tif.take(n)) // no-throw
+    }
+  }
 }
