@@ -893,6 +893,28 @@ object SparkEntry {
           col("r._7").cast("long").as("epsg"))
     }),
 
+    // NetCDF scan end-to-end: synthesized minimal-HDF5 .nc binary payloads
+    // (lat/lon cell-center axes + CF time var) parsed by the pure-JVM HDF5
+    // reader (reference: .nc via GDAL/netCDF, handle_raster.py; goldens vs
+    // the reference's own nc fixtures — incl. the superblock-v0 fractal-heap
+    // zeroes.nc — in NetCdfSpec); the oracle rebuilds the half-step envelope
+    // and the CF day arithmetic
+    "q69_netcdf_extent" -> ((s, dir) => {
+      val parseUdf = udf((nc: Array[Byte]) => {
+        val r = graft.parse.NetCdf.read(nc).get
+        val e = r.extent.get
+        val tb = r.tbox.get
+        (e.minLon, e.minLat, e.maxLon, e.maxLat, r.width, r.height, tb._1, tb._2)
+      })
+      graft.table.Hdf5Synth.ncs(s, dir)
+        .select(col("doc_id"), parseUdf(col("nc")).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("min_lon"), col("r._2").as("min_lat"),
+          col("r._3").as("max_lon"), col("r._4").as("max_lat"),
+          col("r._5").cast("long").as("width"), col("r._6").cast("long").as("height"),
+          col("r._7").as("tbox_start"), col("r._8").as("tbox_end"))
+    }),
+
     // P3 per-payload convex hull from the payload's actual geometry vertices
     // (rect payloads → 4-corner hull with area=bw*bh; point payloads → 1 vertex)
     "q44_hull_extract" -> ((s, dir) => {
@@ -1001,6 +1023,14 @@ FROM ext WHERE min_lon IS NOT NULL"""),
   lat0 + CAST(3 AS DOUBLE) * ((d % 7 + 1) * CAST(0.125 AS DOUBLE)) AS max_lat,
   CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
   CAST(4326 AS BIGINT) AS epsg
+FROM p1"""),
+
+    "q69_netcdf_extent" -> (EXT +
+      """SELECT d AS doc_id, lon0 AS min_lon, lat0 AS min_lat,
+  lon0 + CAST(4 AS DOUBLE) * ((d % 5 + 1) * CAST(0.25 AS DOUBLE)) AS max_lon,
+  lat0 + CAST(3 AS DOUBLE) * ((d % 7 + 1) * CAST(0.125 AS DOUBLE)) AS max_lat,
+  CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+  strftime(dd, '%Y-%m-%d') AS tbox_start, strftime(de, '%Y-%m-%d') AS tbox_end
 FROM p1"""),
 
     "q66_shapefile_extent" -> (EXT +
