@@ -927,6 +927,42 @@ object SparkEntry {
           (size(col("hull")) / 2).cast("long").as("n_vertices"),
           areaUdf(col("hull")).as("area"))
     }),
+
+    // X3 bbox_to_geojson sink: extent → GeoJSON geometry string (Point for
+    // degenerate extents, 5-vertex closed Polygon ring otherwise); the oracle
+    // rebuilds the exact string with printf (reference:
+    // geoextent/lib/helpfunctions.py:1732-1755)
+    "q70_bbox_geojson" -> ((s, dir) => {
+      val gjUdf = udf((a: Double, b: Double, c: Double, dd: Double) =>
+        graft.geo.Wkt.extentToGeoJson(graft.geo.Extent(a, b, c, dd)))
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          gjUdf(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("gj"))
+    }),
+
+    // X8 axis-order swap: the reference's public API presents EPSG:4326 as
+    // [lat, lon] while computing in GeoJSON [lon, lat] internally (reference:
+    // geoextent/lib/extent.py:149-183) — presentation projection via
+    // functions.Scalars.swapToLatLon
+    "q71_axis_swap" -> ((s, dir) =>
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          graft.functions.Scalars.swapToLatLon(
+            col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("sw"))
+        .select(col("doc_id"), col("sw.min_lat"), col("sw.min_lon"),
+          col("sw.max_lat"), col("sw.max_lon"))),
+
+    // S12 geojson.io URL sink: FeatureCollection percent-encoded into a
+    // data-URI fragment (urllib.parse.quote semantics); the oracle rebuilds
+    // the full URL with an explicit replace chain over the JSON's closed
+    // character set (reference: geoextent/lib/helpfunctions.py:2173-2325)
+    "q72_geojsonio_url" -> ((s, dir) => {
+      val urlUdf = udf((a: Double, b: Double, c: Double, dd: Double) =>
+        graft.geo.Wkt.geojsonIoUrl(graft.geo.Extent(a, b, c, dd)).orNull)
+      extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          urlUdf(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("url"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1646,5 +1682,42 @@ FROM documents d JOIN c ON d.doc_id // 10 = c.grp WHERE c.cum <= 30000""",
   CAST(CASE WHEN k <= 6 THEN 4 ELSE 1 END AS BIGINT) AS n_vertices,
   (max_lon - min_lon) * (max_lat - min_lat) AS area
 FROM ext WHERE min_lon IS NOT NULL"""),
+
+    "q70_bbox_geojson" -> (EXT +
+      """SELECT d AS doc_id,
+CASE WHEN max_lon - min_lon <= 0.000001 AND max_lat - min_lat <= 0.000001
+  THEN '{"type":"Point","coordinates":[' || printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || ']}'
+  ELSE '{"type":"Polygon","coordinates":[[[' ||
+       printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || '],[' ||
+       printf('%.6f', max_lon) || ',' || printf('%.6f', min_lat) || '],[' ||
+       printf('%.6f', max_lon) || ',' || printf('%.6f', max_lat) || '],[' ||
+       printf('%.6f', min_lon) || ',' || printf('%.6f', max_lat) || '],[' ||
+       printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || ']]]}'
+END AS gj FROM ext WHERE min_lon IS NOT NULL"""),
+
+    "q71_axis_swap" -> (EXT +
+      "SELECT d AS doc_id, min_lat, min_lon, max_lat, max_lon FROM ext WHERE min_lon IS NOT NULL"),
+
+    // percent-encode with an explicit replace chain: the JSON's character set
+    // outside [A-Za-z0-9.-] is exactly { } " : , [ ] (no inputs provenance in
+    // this query), and no replacement output contains another's input, so the
+    // chain is order-independent — urllib.parse.quote / java URLEncoder
+    // (with +→%20, no spaces present) agree on this alphabet
+    "q72_geojsonio_url" -> (EXT +
+      """SELECT d AS doc_id,
+'https://geojson.io/#data=data:application/json,' ||
+replace(replace(replace(replace(replace(replace(replace(
+  '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},"geometry":' ||
+  CASE WHEN max_lon - min_lon <= 0.000001 AND max_lat - min_lat <= 0.000001
+    THEN '{"type":"Point","coordinates":[' || printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || ']}'
+    ELSE '{"type":"Polygon","coordinates":[[[' ||
+         printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || '],[' ||
+         printf('%.6f', max_lon) || ',' || printf('%.6f', min_lat) || '],[' ||
+         printf('%.6f', max_lon) || ',' || printf('%.6f', max_lat) || '],[' ||
+         printf('%.6f', min_lon) || ',' || printf('%.6f', max_lat) || '],[' ||
+         printf('%.6f', min_lon) || ',' || printf('%.6f', min_lat) || ']]]}'
+  END || '}]}',
+  '{', '%7B'), '}', '%7D'), '"', '%22'), ':', '%3A'), ',', '%2C'), '[', '%5B'), ']', '%5D')
+AS url FROM ext WHERE min_lon IS NOT NULL"""),
   )
 }
