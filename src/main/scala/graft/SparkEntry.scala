@@ -952,6 +952,43 @@ object SparkEntry {
         .select(col("doc_id"), col("sw.min_lat"), col("sw.min_lon"),
           col("sw.max_lat"), col("sw.max_lon"))),
 
+    // S10 GeoPackage sink ROUND-TRIP: the extraction summary written to an
+    // actual .gpkg file by the from-scratch SQLite writer
+    // (sinks.GeoPackageWrite; reference: create_geopackage,
+    // geoextent/lib/helpfunctions.py:1268-1301), then re-read by the
+    // golden-tested reader — the emitted rows are what a GeoPackage consumer
+    // would see, oracle-checked against the closed-form extents. Driver-side
+    // single-file sink by design (the reference's export is the same shape);
+    // corpus-scale extents leave via parquet, not .gpkg.
+    "q73_gpkg_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val summary = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d"), col("handler"), col("min_lon"), col("min_lat"),
+          col("max_lon"), col("max_lat"))
+        .collect()
+        .sortBy(_.getLong(0))
+      val feats = summary.map { r =>
+        sinks.GeoPackageWrite.Feature(s"page_${r.getLong(0)}",
+          Some(geo.Extent(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))),
+          r.getString(1), "text/html", None, "4326")
+      }
+      val path = java.nio.file.Files.createTempFile("graft_q73_", ".gpkg")
+      try {
+        java.nio.file.Files.write(path,
+          sinks.GeoPackageWrite.buildGpkg(feats.toSeq, "2024-01-01T00:00:00.000Z"))
+        val bytes = java.nio.file.Files.readAllBytes(path)
+        val db = parse.SqliteRead.open(bytes).get
+        val rows = parse.SqliteRead.scanTable(db, parse.SqliteRead.tables(db)("files")._1)
+        val out = rows.map { row =>
+          val e = parse.GeoPackage.gpbEnvelope(row(1).asInstanceOf[Array[Byte]]).get
+          (row(2).asInstanceOf[String].stripPrefix("page_").toLong,
+            row(3).asInstanceOf[String], e.minLon, e.minLat, e.maxLon, e.maxLat)
+        }
+        s.createDataset(out.toSeq)
+          .toDF("doc_id", "handler", "min_lon", "min_lat", "max_lon", "max_lat")
+      } finally java.nio.file.Files.deleteIfExists(path)
+    }),
+
     // S12 geojson.io URL sink: FeatureCollection percent-encoded into a
     // data-URI fragment (urllib.parse.quote semantics); the oracle rebuilds
     // the full URL with an explicit replace chain over the JSON's closed
@@ -1697,6 +1734,9 @@ END AS gj FROM ext WHERE min_lon IS NOT NULL"""),
 
     "q71_axis_swap" -> (EXT +
       "SELECT d AS doc_id, min_lat, min_lon, max_lat, max_lon FROM ext WHERE min_lon IS NOT NULL"),
+
+    "q73_gpkg_roundtrip" -> (EXT +
+      "SELECT d AS doc_id, handler, min_lon, min_lat, max_lon, max_lat FROM ext WHERE min_lon IS NOT NULL"),
 
     // percent-encode with an explicit replace chain: the JSON's character set
     // outside [A-Za-z0-9.-] is exactly { } " : , [ ] (no inputs provenance in

@@ -154,6 +154,16 @@ object Wkt {
     * at reference: geoextent/lib/helpfunctions.py:1706-1729.
     */
   def extentToWkbHex(e: Extent): String = {
+    val a = extentToWkbBytes(e)
+    val sb = new StringBuilder(a.length * 2)
+    a.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    sb.toString
+  }
+
+  /** Extent → raw WKB bytes (same layouts as [[extentToWkbHex]]); also the
+    * geometry body of the GeoPackage GPB blobs written by sinks.GeoPackageWrite.
+    */
+  def extentToWkbBytes(e: Extent): Array[Byte] = {
     val isPt = e.isPoint()
     val size = if (isPt) 21 else 93
     val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -171,9 +181,7 @@ object Wkt {
       putLe(bb, e.minLon); putLe(bb, e.maxLat)
       putLe(bb, e.minLon); putLe(bb, e.minLat)
     }
-    val sb = new StringBuilder(size * 2)
-    bb.array().foreach(b => sb.append(f"${b & 0xff}%02X"))
-    sb.toString
+    bb.array()
   }
 
   /** Hex-WKB → coordinate envelope. Supports NDR/XDR Point, LineString, Polygon,
