@@ -10,9 +10,12 @@ import java.nio.charset.StandardCharsets
   * compact link messages and densely-stored links (fractal heap root
   * direct/one-level indirect blocks), attribute messages v1/v3 with
   * fixed-string / numeric / vlen-string (global heap "GCOL") values,
-  * dataspace v1/v2, and CONTIGUOUS dataset layout (v1/v2/v3 messages).
-  * Chunked/compressed data, v1 B-tree chunk indexes, and group-symbol-table
-  * files beyond these paths return None fields rather than failing.
+  * dataspace v1/v2, CONTIGUOUS dataset layout (v1/v2/v3 messages), and —
+  * since round 4 — CHUNKED layout via the v1 B-tree chunk index with the
+  * shuffle/deflate/fletcher32 filter pipeline (the storage netCDF always
+  * uses for unlimited dimensions, time axes above all). Paths beyond these
+  * (v4 chunk indexes, szip, compound types) return None fields rather than
+  * failing.
   *
   * Pixel payloads are never needed — like every reader in this engine the
   * target is coordinate axes, CF/ACDD attributes, and small 1-D arrays.
@@ -60,6 +63,9 @@ object Hdf5 {
     var dt: Dt = null
     var layoutAddr: Long = Undef
     var layoutSize: Long = 0L
+    var chunkBtree: Long = Undef
+    var chunkDims: Array[Int] = null // incl. the trailing element-size dim
+    var filters: List[(Int, Array[Long])] = Nil // (filter id, client data)
     var links = Vector.empty[(String, Long)]
     var denseLinkHeap: Long = Undef
     var symBtree: Long = Undef
@@ -92,7 +98,8 @@ object Hdf5 {
       else {
         val o = parseObject(p, addr)
         val data =
-          if (o.dt != null && o.dims != null && o.layoutAddr != Undef &&
+          if (o.dt != null && o.dims != null &&
+            (o.layoutAddr != Undef || o.chunkBtree != Undef) &&
             (o.dt.cls == 0 || o.dt.cls == 1)) readNumeric(p, o)
           else None
         Some(H5Var(name, if (o.dims == null) Nil else o.dims,
@@ -176,13 +183,40 @@ object Hdf5 {
     case 0x08 => // Data Layout
       val ver = p.u8(body)
       if (ver == 3) {
-        if (p.u8(body + 1) == 1) { o.layoutAddr = p.u64(body + 2); o.layoutSize = p.u64(body + 10) }
+        p.u8(body + 1) match {
+          case 1 => o.layoutAddr = p.u64(body + 2); o.layoutSize = p.u64(body + 10)
+          case 2 => // chunked: dimensionality, v1 B-tree address, chunk dims (u32 each)
+            val nd = p.u8(body + 2)
+            o.chunkBtree = p.u64(body + 3)
+            o.chunkDims = (0 until nd).map(i => p.u32(body + 11 + 4L * i).toInt).toArray
+          case _ => ()
+        }
       } else if (ver == 1 || ver == 2) {
         val nd = p.u8(body + 1); val cls = p.u8(body + 2)
         if (cls == 1) { o.layoutAddr = p.u64(body + 8); o.layoutSize = 0L }
       } else if (ver == 4) {
         if (p.u8(body + 1) == 1) { o.layoutAddr = p.u64(body + 2); o.layoutSize = p.u64(body + 10) }
       }
+    case 0x0B => // Filter Pipeline (applied to chunked raw data)
+      val ver = p.u8(body)
+      val nf = p.u8(body + 1)
+      var q = if (ver == 1) body + 8 else body + 2
+      var i = 0
+      while (i < nf && q + 8 <= p.b.length) {
+        val id = p.u16(q)
+        val hasName = ver == 1 || id >= 256
+        val nameLen = if (hasName) p.u16(q + 2) else 0
+        val off = if (hasName) 2 else 0
+        val nClient = p.u16(q + 4 + off)
+        q += 6 + off
+        q += (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) // padded name (v1)
+        val client = (0 until nClient).map(j => p.u32(q + 4L * j)).toArray
+        q += 4L * nClient
+        if (ver == 1 && nClient % 2 == 1) q += 4 // v1 pads client data to 8 bytes
+        o.filters ::= ((id, client))
+        i += 1
+      }
+      o.filters = o.filters.reverse // pipeline order as stored
     case 0x0C => parseAttr(p, body).foreach { case (k, v) => o.attrs += (k -> v) }
     case 0x10 if v2 => // continuation: "OCHK" + messages + checksum
       val co = p.u64(body); val cl = p.u64(body + 8)
@@ -369,26 +403,154 @@ object Hdf5 {
 
   // ------------------------------------------------------------ data
 
+  private def elemAt(b: Array[Byte], off: Int, dt: Dt): Double = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    (dt.cls, dt.size) match {
+      case (1, 4) => bb.getFloat(off).toDouble
+      case (1, 8) => bb.getDouble(off)
+      case (0, 1) => if (dt.signed) b(off).toDouble else (b(off) & 0xff).toDouble
+      case (0, 2) => if (dt.signed) bb.getShort(off).toDouble else (bb.getShort(off) & 0xffff).toDouble
+      case (0, 4) => if (dt.signed) bb.getInt(off).toDouble else (bb.getInt(off).toLong & 0xffffffffL).toDouble
+      case (0, 8) => bb.getLong(off).toDouble
+      case _ => Double.NaN
+    }
+  }
+
+  private def supportedElem(dt: Dt): Boolean = (dt.cls, dt.size) match {
+    case (1, 4) | (1, 8) | (0, 1) | (0, 2) | (0, 4) | (0, 8) => true
+    case _ => false
+  }
+
   private def readNumeric(p: P, o: Obj): Option[Array[Double]] = {
     var n = 1L
     o.dims.foreach(d => n *= d)
     if (n < 0 || n > MaxElems) return None
+    if (!supportedElem(o.dt)) return None
+    if (o.chunkBtree != Undef) return readChunked(p, o, n.toInt)
     if (o.layoutAddr == Undef || o.layoutAddr + n * o.dt.size > p.b.length) return None
     val out = new Array[Double](n.toInt)
     var i = 0
     while (i < n) {
-      val off = o.layoutAddr + i.toLong * o.dt.size
-      out(i) = (o.dt.cls, o.dt.size) match {
-        case (1, 4) => p.bb.getFloat(off.toInt).toDouble
-        case (1, 8) => p.bb.getDouble(off.toInt)
-        case (0, 1) => if (o.dt.signed) p.b(off.toInt).toDouble else p.u8(off).toDouble
-        case (0, 2) => if (o.dt.signed) p.bb.getShort(off.toInt).toDouble else p.u16(off).toDouble
-        case (0, 4) => if (o.dt.signed) p.bb.getInt(off.toInt).toDouble else p.u32(off).toDouble
-        case (0, 8) => p.u64(off).toDouble
-        case _ => return None
-      }
+      out(i) = elemAt(p.b, (o.layoutAddr + i.toLong * o.dt.size).toInt, o.dt)
       i += 1
     }
     Some(out)
+  }
+
+  // ------------------------------------------------------------ chunked data
+
+  /** Undo the pipeline for one raw chunk, last-applied filter first:
+    * fletcher32 (id 3) strips its trailing checksum, shuffle (id 2)
+    * de-interleaves byte planes, deflate (id 1) inflates — the three filters
+    * the netCDF-4 library writes. An unknown filter fails the read (None)
+    * unless the chunk's filter mask bit says it was skipped at write time.
+    */
+  private def defilter(raw: Array[Byte], filters: List[(Int, Array[Long])],
+                       mask: Long, elemSize: Int): Option[Array[Byte]] = {
+    var buf = raw
+    for (((id, _), idx) <- filters.zipWithIndex.reverse) {
+      if ((mask & (1L << idx)) == 0) id match {
+        case 1 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(buf)
+          val outStream = new java.io.ByteArrayOutputStream(math.max(64, buf.length * 4))
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput()) {
+            val k = inf.inflate(tmp)
+            if (k == 0 && !inf.finished()) return None // truncated/corrupt stream
+            outStream.write(tmp, 0, k)
+            if (outStream.size() > (MaxElems.toLong * 8)) return None
+          }
+          inf.end()
+          buf = outStream.toByteArray
+        case 2 =>
+          if (elemSize > 1 && buf.length % elemSize == 0) {
+            val nEl = buf.length / elemSize
+            val un = new Array[Byte](buf.length)
+            var j = 0
+            while (j < elemSize) {
+              var e = 0
+              while (e < nEl) { un(e * elemSize + j) = buf(j * nEl + e); e += 1 }
+              j += 1
+            }
+            buf = un
+          }
+        case 3 =>
+          if (buf.length < 4) return None
+          buf = java.util.Arrays.copyOfRange(buf, 0, buf.length - 4)
+        case _ => return None
+      }
+    }
+    Some(buf)
+  }
+
+  /** Chunked dataset via the v1 B-tree index (node type 1): walk interior
+    * levels to the chunk leaves, de-filter each chunk, scatter its elements
+    * into the row-major output by n-dimensional offset arithmetic (covers
+    * the unlimited-dimension coordinate variables netCDF always stores
+    * chunked, compressed or not).
+    */
+  private def readChunked(p: P, o: Obj, n: Int): Option[Array[Double]] = {
+    val nd = o.dims.length
+    if (o.chunkDims == null || o.chunkDims.length != nd + 1) return None
+    if (o.chunkDims(nd) != o.dt.size) return None
+    val out = new Array[Double](n)
+    java.util.Arrays.fill(out, Double.NaN) // unwritten chunks surface as NaN
+    val rowStride = new Array[Long](nd) // row-major strides of the dataset
+    var s = 1L
+    for (d <- (nd - 1) to 0 by -1) { rowStride(d) = s; s *= o.dims(d) }
+    var guard = 0
+
+    def walk(addr: Long): Boolean = {
+      guard += 1
+      if (guard > 100000 || !p.sig(addr, "TREE")) return false
+      if (p.u8(addr + 4) != 1) return false // node type 1 = raw-data chunks
+      val level = p.u8(addr + 5)
+      val used = p.u16(addr + 6)
+      // key: chunk byte size (u32), filter mask (u32), nd+1 offsets (u64)
+      val keySz = 8L + 8L * (nd + 1)
+      var q = addr + 24
+      var i = 0
+      while (i < used) {
+        val chunkBytes = p.u32(q)
+        val mask = p.u32(q + 4)
+        val offs = (0 until nd).map(d => p.u64(q + 8 + 8L * d))
+        val child = p.u64(q + keySz)
+        if (level > 0) {
+          if (!walk(child)) return false
+        } else {
+          if (child < 0 || child + chunkBytes > p.b.length) return false
+          val raw = java.util.Arrays.copyOfRange(p.b, child.toInt, (child + chunkBytes).toInt)
+          val data = defilter(raw, o.filters, mask, o.dt.size).getOrElse(return false)
+          // scatter the chunk (row-major within the chunk) into the output
+          val cd = o.chunkDims
+          var ce = 1
+          for (d <- 0 until nd) ce *= cd(d)
+          if (data.length < ce.toLong * o.dt.size) return false
+          var e = 0
+          while (e < ce) {
+            // local coords of element e within the chunk
+            var gIdx = 0L; var inBounds = true
+            var d = nd - 1; var stride = 1
+            while (d >= 0) {
+              val loc = (e / stride) % cd(d)
+              val g = offs(d) + loc
+              if (g >= o.dims(d)) inBounds = false
+              gIdx += g * rowStride(d)
+              stride *= cd(d)
+              d -= 1
+            }
+            if (inBounds && gIdx >= 0 && gIdx < n)
+              out(gIdx.toInt) = elemAt(data, e * o.dt.size, o.dt)
+            e += 1
+          }
+        }
+        q += keySz + 8
+        i += 1
+      }
+      true
+    }
+
+    if (walk(o.chunkBtree)) Some(out) else None
   }
 }

@@ -76,6 +76,27 @@ class NetCdfSpec extends AnyFunSuite {
     assert(f.rootAttrs.get("Conventions") === Some("CF-1.6"))
   }
 
+  test("chunked + shuffle + deflate time axis round-trips (unlimited-dim layout)") {
+    val time = Array.tabulate(20)(i => i * 3.0) // 0..57 days
+    val b = graft.table.Hdf5Synth.ncBytesChunkedTime(
+      lat = Array(10.25, 10.75), lon = Array(20.5, 21.5, 22.5),
+      time = time, timeUnits = "days since 2015-03-01", chunkElems = 7) // 3 chunks, edge partial
+    val f = Hdf5.read(b).get
+    val tvar = f.vars.find(_.name == "time").get
+    assert(tvar.data.get.toSeq === time.toSeq, "chunk scatter must reassemble exactly")
+    val r = NetCdf.read(b).get
+    assert(r.tbox === Some(("2015-03-01", "2015-04-27"))) // +57 days
+    assert(r.extent.get.minLon === 20.0 && r.extent.get.maxLon === 23.0)
+  }
+
+  test("zeroes.nc golden: the chunked (uncompressed) data variable reads as all zeros") {
+    val r = Hdf5.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$td/zeroes.nc"))).get
+    val z = r.vars.find(_.name == "rsl").get
+    assert(z.dims === Seq(1L, 20L, 20L))
+    assert(z.data.get.length === 400 && z.data.get.forall(_ == 0.0))
+  }
+
   test("malformed HDF5: truncations and junk fail the row, never throw") {
     assume(have(s"$td/zeroes.nc"))
     val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$td/zeroes.nc"))
