@@ -989,6 +989,35 @@ object SparkEntry {
       } finally java.nio.file.Files.deleteIfExists(path)
     }),
 
+    // S7 remote-provider dispatch (offline face): classify synthesized
+    // identifiers through the full 38-rung ladder (providers.Dispatch,
+    // golden-locked to the reference's own offline find_provider) — the
+    // narrow classification pass a link-corpus run performs before any
+    // fetch. Oracle rebuilds each family's expected (provider, record id)
+    // with plain SQL string ops.
+    "q74_provider_dispatch" -> ((s, dir) => {
+      val dispatchUdf = udf((ref: String) => {
+        graft.providers.Dispatch.validateOffline(ref) match {
+          case Some(m) => (m.provider, m.ids.filter(_._1 != "instance").values.toSeq.sorted.headOption.orNull)
+          case None => (null, null)
+        }
+      })
+      val idUdf = udf((d: Long) => (d % 8) match {
+        case 0 => s"https://zenodo.org/records/$d"
+        case 1 => s"10.1594/PANGAEA.$d"
+        case 2 => s"10.17632/abc$d.2"
+        case 3 => s"https://github.com/user/repo$d"
+        case 4 => s"https://example.com/tiles/$d.tif"
+        case 5 => s"Q$d"
+        case 6 => s"10.17882/$d"
+        case _ => s"https://unknown.example.org/page/$d"
+      })
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("doc_id"))
+        .select(col("doc_id"), dispatchUdf(idUdf(col("doc_id"))).as("r"))
+        .select(col("doc_id"), col("r._1").as("provider"), col("r._2").as("rid"))
+    }),
+
     // S12 geojson.io URL sink: FeatureCollection percent-encoded into a
     // data-URI fragment (urllib.parse.quote semantics); the oracle rebuilds
     // the full URL with an explicit replace chain over the JSON's closed
@@ -1737,6 +1766,23 @@ END AS gj FROM ext WHERE min_lon IS NOT NULL"""),
 
     "q73_gpkg_roundtrip" -> (EXT +
       "SELECT d AS doc_id, handler, min_lon, min_lat, max_lon, max_lat FROM ext WHERE min_lon IS NOT NULL"),
+
+    "q74_provider_dispatch" ->
+      """SELECT (l_orderkey*8 + l_linenumber) AS doc_id,
+CASE (l_orderkey*8 + l_linenumber) % 8
+  WHEN 0 THEN 'Zenodo' WHEN 1 THEN 'Pangaea' WHEN 2 THEN 'MendeleyData'
+  WHEN 3 THEN 'GitHub' WHEN 4 THEN 'RemoteRaster' WHEN 5 THEN 'Wikidata'
+  WHEN 6 THEN 'SEANOE' ELSE NULL END AS provider,
+CASE (l_orderkey*8 + l_linenumber) % 8
+  WHEN 0 THEN CAST(l_orderkey*8 + l_linenumber AS VARCHAR)
+  WHEN 1 THEN CAST(l_orderkey*8 + l_linenumber AS VARCHAR)
+  WHEN 2 THEN 'abc' || CAST(l_orderkey*8 + l_linenumber AS VARCHAR)
+  WHEN 3 THEN NULL
+  WHEN 4 THEN 'https://example.com/tiles/' || CAST(l_orderkey*8 + l_linenumber AS VARCHAR) || '.tif'
+  WHEN 5 THEN 'Q' || CAST(l_orderkey*8 + l_linenumber AS VARCHAR)
+  WHEN 6 THEN CAST(l_orderkey*8 + l_linenumber AS VARCHAR)
+  ELSE NULL END AS rid
+FROM lineitem""",
 
     // percent-encode with an explicit replace chain: the JSON's character set
     // outside [A-Za-z0-9.-] is exactly { } " : , [ ] (no inputs provenance in
