@@ -42,6 +42,18 @@ class JournalFixturesSpec extends AnyFunSuite {
     assert(r.tbox.isEmpty)
   }
 
+  test("platform sniff on the captured pages: OJS generator tag, Janeway fingerprints") {
+    import graft.providers.JournalPlatform
+    assert(JournalPlatform.detect(fixture("ojs_polygon.html"), "https://example.org/article/view/44") === Some("OJS"))
+    assert(JournalPlatform.detect(fixture("ojs_dc_temporal.html"), "") === Some("OJS"))
+    assert(JournalPlatform.detect(fixture("ojs_admin_only.html"), "") === Some("OJS"))
+    assert(JournalPlatform.detect(fixture("janeway_full.html"),
+      "http://localhost:8000/dqj/article/id/53/") === Some("Janeway"))
+    assert(JournalPlatform.detect("<html><head></head></html>", "https://x.org/article/id/1/") === None)
+    // Janeway-shaped URL without the plugin's assets must decline (janeway.py doc)
+    assert(JournalPlatform.detect("<html><body>plain</body></html>", "https://x.org/article/id/9/") === None)
+  }
+
   test("janeway_full.html: Indochina polygon from a polygon-carrying source") {
     val r = HtmlMeta.extract(fixture("janeway_full.html"))
     val e = r.extent.get

@@ -83,6 +83,35 @@ class GeoPackageWriteSpec extends AnyFunSuite {
     assert(rows(1)(1) === "small")
   }
 
+  test("property: random tables round-trip through SqliteRead (seeded)") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 0 until 20) {
+      val nCols = 1 + rnd.nextInt(6)
+      val nRows = rnd.nextInt(300)
+      val rows = Seq.tabulate(nRows) { _ =>
+        Array.tabulate[Any](nCols) { _ =>
+          rnd.nextInt(6) match {
+            case 0 => null
+            case 1 => rnd.nextLong() >> rnd.nextInt(48) // mixed widths, signs
+            case 2 => rnd.nextDouble() * 1e6 - 5e5
+            case 3 => rnd.alphanumeric.take(rnd.nextInt(40)).mkString + "é✓"
+            case 4 => Array.fill[Byte](rnd.nextInt(60))(rnd.nextInt(256).toByte)
+            case _ => rnd.nextInt(2).toLong // exercises serial types 8/9
+          }
+        }
+      }
+      val cols = (0 until nCols).map(i => s"c$i").mkString(",")
+      val t = SqliteWrite.Table(s"t$trial", s"CREATE TABLE t$trial ($cols)", rows)
+      val db = SqliteRead.open(SqliteWrite.build(Seq(t), 0, 0)).get
+      val got = SqliteRead.scanTable(db, SqliteRead.tables(db)(s"t$trial")._1)
+      assert(got.length === nRows, s"trial $trial row count")
+      for ((exp, act) <- rows.zip(got); (e, a) <- exp.zip(act)) (e, a) match {
+        case (x: Array[Byte], y: Array[Byte]) => assert(x.toSeq === y.toSeq)
+        case (x, y) => assert(x === y, s"trial $trial")
+      }
+    }
+  }
+
   test("serial-type coverage: null, 0/1 constants, multi-width ints, double, blob") {
     val row = Array[Any](null, 0L, 1L, 7L, 300L, 70000L, 3000000000L, 1234567890123L,
       -5L, 2.5, "téxt", Array[Byte](1, 2, 3))
