@@ -246,8 +246,12 @@ object SparkEntry {
         .select(col("d").as("doc_id"), col("handler"))
       val vec = e.filter(col("handler") === "vector")
       val csv = e.filter(col("handler") === "csv")
+      // the summary row's values are constants — emit it as a one-row literal
+      // frame rather than aggregating the corpus into constants (the old
+      // first(lit(...)) agg cost a full scan + exchange per export branch and
+      // planned as SortAggregate, the only one on the surface)
       def withSummary(df: DataFrame): DataFrame =
-        df.unionByName(df.agg(min(lit(-1L)).as("doc_id"), first(lit("graft:0.1")).as("handler")))
+        df.unionByName(s.range(1).select(lit(-1L).as("doc_id"), lit("graft:0.1").as("handler")))
       withSummary(vec).unionByName(withSummary(csv))
         .filter(!col("handler").startsWith("graft:"))
     }),

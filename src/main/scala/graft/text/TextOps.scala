@@ -160,9 +160,13 @@ object TextOps {
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // explode, not a two-branch union: `pairs` may be an expensive un-cached
-    // DAG (an LSH candidate generator) and each branch would re-evaluate it
+    // DAG (an LSH candidate generator) and each branch would re-evaluate it.
+    // shuffle_hash hint: without stats Spark sorts both semi-join sides
+    // (SortMergeJoin); the candidate id set is the small side but not
+    // reliably broadcast-small at 100 TB, so hash-build it instead of
+    // sorting the corpus
     val ids = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+    val sh = docs.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

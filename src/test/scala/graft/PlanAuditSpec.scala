@@ -67,9 +67,16 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("aggregations on the merge paths are hash-based, not sort-based") {
     assume(hasData)
-    for (name <- Seq("q04_bbox_merge", "q10_tiles", "q17_dedup_exact")) {
+    for (name <- Seq("q04_bbox_merge", "q10_tiles", "q17_dedup_exact", "q13_export_union")) {
       val p = planOf(name)
       assert(!p.contains("SortAggregate"), s"$name fell back to SortAggregate:\n$p")
     }
+  }
+
+  test("LSH verification joins hash-build, never sort the corpus (round-4 fix)") {
+    assume(hasData)
+    val p = planOf("q23_minhash_pairs")
+    assert(!p.contains("SortMergeJoin"), s"q23 sorts a join side:\n$p")
+    assert(p.contains("ShuffledHashJoin"), "expected the hinted hash semi join")
   }
 }
