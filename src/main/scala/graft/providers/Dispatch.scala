@@ -68,7 +68,7 @@ object Dispatch {
   // ---- per-provider offline validators, ladder order ----
 
   private val wikidata = Rung("Wikidata", Nil, ref =>
-    re1("""^Q(\d+)$""", ref).orElse(re1("""^https?://(?:www\.)?wikidata\.org/(?:wiki|entity)/Q(\d+)$""", ref))
+    re1("""(?i)^Q(\d+)$""", ref).orElse(re1("""(?i)^https?://(?:www\.)?wikidata\.org/(?:wiki|entity)/Q(\d+)$""", ref))
       .map(n => PMatch("Wikidata", Map("qid" -> s"Q$n"))))
 
   private val dryadHosts = Seq(
@@ -489,7 +489,7 @@ object Dispatch {
   })
 
   private val remoteRaster = Rung("RemoteRaster", Nil, ref =>
-    if (matches("""^https?://.+\.(tif|tiff)(\?.*)?$""", ref))
+    if (matches("""(?i)^https?://.+\.(tif|tiff)(\?.*)?$""", ref))
       Some(PMatch("RemoteRaster", Map("url" -> ref)))
     else None)
 

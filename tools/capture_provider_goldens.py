@@ -145,6 +145,14 @@ IDENTIFIERS = [
     "https://example.com/dem/tile_12.tif", "https://example.com/ortho.tiff?token=abc",
     "Q26080", "Q64", "https://www.wikidata.org/wiki/Q60786916",
     "http://www.wikidata.org/entity/Q64",
+    # case/edge variants
+    "q64", "Q1234567", "https://WWW.wikidata.org/wiki/Q35",
+    "DOI: 10.1594/PANGAEA.150150", "doi:10.17605/osf.io/gfwhj",
+    "10.5281/ZENODO.123", "osf.io/9jg2u", "Osf.Io/J2STA", "ab3x9",
+    "https://zenodo.org/records/4593540/", "https://osf.io/4xe6z#files",
+    "https://datadryad.org/stash/dataset/10.5061/dryad.fqz612jw3",
+    "https://example.com/DEM.TIF", "swh:1:rev:0000000000000000000000000000000000000000",
+    "https://codeberg.org/solo",
     # negatives
     "10.1000/example.doi", "10.1234/something", "http://example.com",
     "not an identifier at all", "ftp://archive.example.org/data.zip",
