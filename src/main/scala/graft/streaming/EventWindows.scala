@@ -29,9 +29,57 @@ object EventWindows {
       .select(col("window.start").as("hr"), col("event_type"), col("cnt"),
         col("min_value"), col("max_value"))
 
+  /** Streaming per-user sessionization: an OPEN session rides the group state
+    * across micro-batches and closes only when the event-time watermark
+    * passes its gap deadline — so a session split across arbitrarily many
+    * micro-batches is emitted exactly once. State is bounded by the
+    * watermark: one open-session record per active user, expired by
+    * EventTimeTimeout (the batch-mode [[sessionize]] below flushes eagerly
+    * instead, correct there because batch delivers each group once).
+    */
+  def sessionizeStream(events: Dataset[Event], watermarkDelay: String,
+                       gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def toSession(userId: Long, st: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end), st.n, st.total)
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // the watermark passed the open session's gap deadline: close it
+            val st = state.get
+            state.remove()
+            Iterator.single(toSession(userId, st))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur: SessionState = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.end > gapMs) {
+                out += toSession(userId, cur) // in-batch gap: close immediately
+                cur = SessionState(t, t, 1, e.value)
+              } else cur = SessionState(cur.start, math.max(cur.end, t), cur.n + 1, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close when the watermark reaches end+gap (strictly after the
+              // current watermark, as EventTimeTimeout requires)
+              state.setTimeoutTimestamp(math.max(cur.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** Per-user sessionization with a gap timeout: events within `gapMinutes` of
-    * each other belong to one session. Works on both batch and streaming
-    * Datasets (flatMapGroupsWithState in Append mode).
+    * each other belong to one session. Batch mode (each group delivered once,
+    * fully); the streaming analog with cross-batch state is [[sessionizeStream]].
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
