@@ -97,6 +97,21 @@ class NetCdfSpec extends AnyFunSuite {
     assert(z.data.get.length === 400 && z.data.get.forall(_ == 0.0))
   }
 
+  test("malformed chunked HDF5: truncated chunks/trees and corrupt filters fail the row, never throw") {
+    val time = Array.tabulate(20)(i => i * 3.0)
+    val b = graft.table.Hdf5Synth.ncBytesChunkedTime(
+      lat = Array(10.25, 10.75), lon = Array(20.5, 21.5, 22.5),
+      time = time, timeUnits = "days since 2015-03-01", chunkElems = 7)
+    // truncations at every region boundary-ish point
+    for (n <- Seq(60, 200, b.length / 4, b.length / 2, b.length - 40, b.length - 4))
+      Hdf5.read(b.take(n)) // no-throw is the assertion
+    // corrupt the deflate streams / tree interior: flip bytes across the tail
+    for (off <- 100 until (b.length - 8) by 97) {
+      val c = b.clone(); c(off) = (c(off) ^ 0xff).toByte
+      Hdf5.read(c) // may parse or fail, must never throw
+    }
+  }
+
   test("malformed HDF5: truncations and junk fail the row, never throw") {
     assume(have(s"$td/zeroes.nc"))
     val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$td/zeroes.nc"))
