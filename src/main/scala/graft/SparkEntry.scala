@@ -76,9 +76,15 @@ object SparkEntry {
     val d = docs(s, dir).select("doc_id", "text")
     val exact = d.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // ONE appended token, not several: a k=3 shingle set of a T-token doc
+    // grows by exactly one shingle, so even the shortest corpus doc (10
+    // tokens) keeps pair jaccard ≥ ~0.89 and the 16×4 LSH miss probability
+    // per planted pair stays ≤ ~2e-7 — the containment oracle's "every near
+    // pair emitted" claim then holds to sf1+ (a 5-token trailer put short
+    // docs at jaccard ~0.6 with an 8% miss chance, seen once at sf0.1)
     val near = d.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" near duplicate variant trailer token")).as("text"))
+        concat(col("text"), lit(" neartrailer")).as("text"))
     val rep = d.filter(col("doc_id") % 25 === 5)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat(col("text"), lit(" "), col("text")).as("text"))
@@ -90,7 +96,7 @@ object SparkEntry {
     """WITH docs2 AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
-  UNION ALL SELECT doc_id + 2000000, text || ' near duplicate variant trailer token' FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT doc_id + 2000000, text || ' neartrailer' FROM documents WHERE doc_id % 25 = 0
   UNION ALL SELECT doc_id + 3000000, text || ' ' || text FROM documents WHERE doc_id % 25 = 5
 )
 """
@@ -1703,12 +1709,18 @@ r AS (SELECT g, pname, row_number() OVER (PARTITION BY g ORDER BY
   (cx - plon)*(cx - plon) + (cy - plat)*(cy - plat), pname) AS rk FROM cent, gaz)
 SELECT g, pname AS placename FROM r WHERE rk = 1"""),
 
+    // LATERAL top-N, not a materialized q × c cross join: the old window-
+    // over-cross-join form OOMed DuckDB at sf0.1 (2.3 B candidate rows);
+    // per-probe streaming top-3 is row-for-row identical (top-3 of m
+    // duplicated probe copies == m copies' top-3 re-ranked) with O(3) memory
     "q48_knn_big" -> (EXT +
       """, c AS (SELECT d, (min_lon+max_lon)/2 AS lon, (min_lat+max_lat)/2 AS lat FROM ext WHERE min_lon IS NOT NULL),
 q AS (SELECT d AS qid, lon AS qlon, lat AS qlat FROM c WHERE d % 100 = 7),
-cand AS (SELECT q.qid, c.d AS pid,
-  (c.lon - q.qlon)*(c.lon - q.qlon) + (c.lat - q.qlat)*(c.lat - q.qlat) AS dist2 FROM q, c),
-r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM cand)
+top3 AS (SELECT q.qid, l.pid, l.dist2 FROM q, LATERAL (
+  SELECT c.d AS pid,
+    (c.lon - q.qlon)*(c.lon - q.qlon) + (c.lat - q.qlat)*(c.lat - q.qlat) AS dist2
+  FROM c ORDER BY dist2, c.d LIMIT 3) l),
+r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM top3)
 SELECT qid, CAST(rank AS BIGINT) AS rank, pid, dist2 FROM r WHERE rank <= 3"""),
 
     "q47_ann_ivf" ->
