@@ -91,6 +91,23 @@ object SparkEntry {
     d.unionByName(exact).unionByName(near).unionByName(rep)
   }
 
+  /** Planted near/rep pair expectations, exact-dup-collapse aware: when a
+    * planted base doc's text occurs on several doc_ids (natural corpus
+    * collisions exist from sf0.1 up), the pre-collapse keeps only the text
+    * group's canonical doc — and collapses the clones of co-planted twins
+    * into one — so the emittable pair is (min doc_id of the text group,
+    * min planted doc_id + offset), one row per text group with planted
+    * members. At sf0.01 (no collisions) this degenerates to (d, d+offset).
+    */
+  private def plantedPairs(s: SparkSession, dir: String, residue: Long,
+                           offset: Long, kind: String): DataFrame =
+    docs(s, dir).select("doc_id", "text")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_a"),
+        min(when(col("doc_id") % 25 === residue, col("doc_id"))).as("_minp"))
+      .filter(col("_minp").isNotNull)
+      .select(col("doc_a"), (col("_minp") + offset).as("doc_b"), lit(kind).as("kind"))
+
   /** Oracle mirror of [[docsDup]]. */
   private val DUP: String =
     """WITH docs2 AS (
@@ -330,8 +347,7 @@ object SparkEntry {
       val base = docs(s, dir).select("doc_id")
       val planted = base.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
-        .unionByName(base.filter(col("doc_id") % 25 === 0)
-          .select(col("doc_id").as("doc_a"), (col("doc_id") + 2000000L).as("doc_b"), lit("near").as("kind")))
+        .unionByName(plantedPairs(s, dir, residue = 0, offset = 2000000L, kind = "near"))
       // one pass over the (expensive, un-cached) candidate DAG: exact Jaccard
       // for every emitted pair, then containment + floor in a single left join
       TextOps.exactJaccard(emitted, docsDup(s, dir))
@@ -350,8 +366,7 @@ object SparkEntry {
       val base = docs(s, dir).select("doc_id")
       val planted = base.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"), lit("exact").as("kind"))
-        .unionByName(base.filter(col("doc_id") % 25 === 5)
-          .select(col("doc_id").as("doc_a"), (col("doc_id") + 3000000L).as("doc_b"), lit("rep").as("kind")))
+        .unionByName(plantedPairs(s, dir, residue = 5, offset = 3000000L, kind = "rep"))
       // two-sided like q23 (round-4): planted rep pairs must be emitted AND
       // every emitted pair must honor SimHash's ADVERTISED contract — the
       // recomputed (independent of the bucket-join path) hash distance is
@@ -1314,11 +1329,19 @@ JOIN cnt cb ON cb.doc_id = p.doc_b"""),
     // no planted exact pair may be (pre-collapsed), and no emitted pair may
     // fall below the 0.5 true-Jaccard floor (any violation adds a row the
     // oracle doesn't have)
+    // exact-dup-collapse-aware expectation (see plantedPairs): one pair per
+    // text group with planted members — (group canonical, min planted + off)
     "q23_minhash_pairs" ->
-      "SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b, 'near' AS kind FROM documents WHERE doc_id % 25 = 0",
+      """WITH g AS (SELECT min(doc_id) AS doc_a,
+  min(CASE WHEN doc_id % 25 = 0 THEN doc_id END) AS minp
+  FROM documents GROUP BY text)
+SELECT doc_a, minp + 2000000 AS doc_b, 'near' AS kind FROM g WHERE minp IS NOT NULL""",
 
     "q24_simhash_pairs" ->
-      "SELECT doc_id AS doc_a, doc_id + 3000000 AS doc_b, 'rep' AS kind FROM documents WHERE doc_id % 25 = 5",
+      """WITH g AS (SELECT min(doc_id) AS doc_a,
+  min(CASE WHEN doc_id % 25 = 5 THEN doc_id END) AS minp
+  FROM documents GROUP BY text)
+SELECT doc_a, minp + 3000000 AS doc_b, 'rep' AS kind FROM g WHERE minp IS NOT NULL""",
 
     "q43_embed_neardup" ->
       "SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, CAST(1.0 AS DOUBLE) AS cos FROM embeddings WHERE vec_id % 20 = 0",
