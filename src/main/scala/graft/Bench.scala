@@ -345,7 +345,10 @@ object Bench {
     // best-known per-query walls persist across bench invocations (keyed by
     // sf dir + thread count) so a wall >1.5x its best-known is flagged
     // `regressed` in the JSON instead of silently shifting the headline
-    val bestFile = java.nio.file.Paths.get("bench_best.properties")
+    // untracked state dir: best walls are per-host measurement state, not
+    // repo content — committing them would make `regressed` compare against
+    // another machine's walls and dirty the tree on every run
+    val bestFile = java.nio.file.Paths.get(".tmp/bench_best.properties")
     val bestProps = new java.util.Properties()
     if (java.nio.file.Files.exists(bestFile))
       try { val in = java.nio.file.Files.newInputStream(bestFile); try bestProps.load(in) finally in.close() }
@@ -360,6 +363,7 @@ object Bench {
         if (v > 0 && bestOf(k).forall(v < _)) bestProps.setProperty(bestKey(k), f"$v%.3f")
       }
       try {
+        Option(bestFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
         val out = java.nio.file.Files.newOutputStream(bestFile)
         try bestProps.store(out, "best-known per-query walls (graft bench)") finally out.close()
       } catch { case _: Throwable => () }

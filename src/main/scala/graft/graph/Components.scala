@@ -93,9 +93,16 @@ object Components {
     val (stars, _) = starRounds(edges, maxIter)
     // at the fixpoint every edge is (node → component-min): labels are the
     // edges themselves plus a self-label per root
-    stars.select(col("u").as("node"), col("v").as("label"))
+    val labeled = stars.select(col("u").as("node"), col("v").as("label"))
       .unionByName(stars.select(col("v").as("node"), col("v").as("label")))
       .distinct()
+    // a node whose only incident edges are self-loops is filtered out of the
+    // star iteration entirely — re-attach it with a self-label so the output
+    // node set matches the input node set (and the min-label variant)
+    val selfOnly = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+      .join(labeled.select("node"), Seq("node"), "left_anti")
+    labeled.unionByName(selfOnly.withColumn("label", col("node")))
   }
 
   /** Iterative min-label propagation — O(component diameter) rounds; kept as

@@ -36,10 +36,14 @@ object SqliteRead {
     ((v << 8) | (b(off + 8) & 0xff), 9)
   }
 
-  /** Assemble a cell payload, following the overflow chain when spilled. */
+  /** Assemble a cell payload, following the overflow chain when spilled.
+    * Malformed-input contract: a corrupt length varint must raise a NonFatal
+    * error, not allocate multi-GB (a payload can never exceed the file size).
+    */
   private def payload(db: Db, page: Int, cellOff: Int): Array[Byte] = {
     val b = db.bytes
     val (pLen0, n1) = varint(b, cellOff)
+    require(pLen0 >= 0 && pLen0 <= b.length, s"corrupt payload length $pLen0")
     val pLen = pLen0.toInt
     val (_, n2) = varint(b, cellOff + n1) // rowid
     val local0 = cellOff + n1 + n2
@@ -109,10 +113,20 @@ object SqliteRead {
     }
   }
 
-  /** All records of the table b-tree rooted at `rootPage` (1-based). */
+  /** All records of the table b-tree rooted at `rootPage` (1-based).
+    * Malformed-input contract: corrupt bytes raise NonFatal errors only —
+    * a page cycle or out-of-range child pointer from a bit flip must not
+    * become a StackOverflowError (fatal: it would kill the task, not the
+    * row), so visited pages and depth are checked explicitly.
+    */
   def scanTable(db: Db, rootPage: Int): Seq[Array[Any]] = {
     val out = Seq.newBuilder[Array[Any]]
-    def walk(page: Int): Unit = {
+    val nPages = db.bytes.length / db.pageSize
+    val visited = scala.collection.mutable.HashSet.empty[Int]
+    def walk(page: Int, depth: Int): Unit = {
+      require(depth < 64, "b-tree deeper than any valid SQLite file")
+      require(page >= 1 && page <= nPages, s"child page $page outside file (1..$nPages)")
+      require(visited.add(page), s"b-tree page cycle at page $page")
       val base = (page - 1) * db.pageSize
       val hdr = base + (if (page == 1) 100 else 0)
       val be = ByteBuffer.wrap(db.bytes).order(ByteOrder.BIG_ENDIAN)
@@ -130,14 +144,14 @@ object SqliteRead {
           var i = 0
           while (i < nCells) {
             val cellOff = base + (be.getShort(hdr + 12 + 2 * i) & 0xffff)
-            walk(be.getInt(cellOff))
+            walk(be.getInt(cellOff), depth + 1)
             i += 1
           }
-          walk(be.getInt(hdr + 8)) // rightmost child
+          walk(be.getInt(hdr + 8), depth + 1) // rightmost child
         case _ => () // index pages: not scanned
       }
     }
-    walk(rootPage)
+    walk(rootPage, 0)
     out.result()
   }
 

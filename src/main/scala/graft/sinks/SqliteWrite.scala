@@ -168,6 +168,14 @@ object SqliteWrite {
       // interior levels until a single root remains; the root of a rootAt1
       // tree goes on page 1 (with the 100-byte header offset)
       var level: Seq[(Int, Long)] = leaves.toSeq
+      if (rootAt1 && level.length == 1) {
+        // the page-1 capacity check (100-byte header) failed but greedy
+        // packing fit every cell into one offset-0 leaf: page 1 must still
+        // hold the root, so give it a one-child interior root — otherwise
+        // the file ships with a zeroed page 1 and an unreadable schema
+        pages(0) = makePage(0x05, Nil, level.head._1, 100)
+        return 1
+      }
       while (level.length > 1) {
         val next = ArrayBuffer.empty[(Int, Long)]
         var group = ArrayBuffer.empty[(Int, Long)]

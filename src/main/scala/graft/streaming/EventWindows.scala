@@ -29,13 +29,20 @@ object EventWindows {
       .select(col("window.start").as("hr"), col("event_type"), col("cnt"),
         col("min_value"), col("max_value"))
 
-  /** Streaming per-user sessionization: an OPEN session rides the group state
-    * across micro-batches and closes only when the event-time watermark
-    * passes its gap deadline — so a session split across arbitrarily many
-    * micro-batches is emitted exactly once. State is bounded by the
-    * watermark: one open-session record per active user, expired by
-    * EventTimeTimeout (the batch-mode [[sessionize]] below flushes eagerly
-    * instead, correct there because batch delivers each group once).
+  /** Per-user OPEN candidate sessions (disjoint, none emitted yet). */
+  final case class OpenSessions(sessions: List[SessionState])
+
+  /** Streaming per-user sessionization: candidate sessions ride the group
+    * state across micro-batches and a session is emitted ONLY once the
+    * event-time watermark passes its gap deadline (end + gap) — never on an
+    * in-batch gap. That makes the append-mode output correct for
+    * out-of-order data within the watermark: a late event that bridges two
+    * candidate sessions (or extends one backward, lowering its start) merges
+    * in state before anything is emitted, so each final session is emitted
+    * exactly once. State is bounded by the watermark: only sessions whose
+    * gap deadline is still above it are held, expired by EventTimeTimeout
+    * (the batch-mode [[sessionize]] below flushes eagerly instead, correct
+    * there because batch delivers each group once, fully).
     */
   def sessionizeStream(events: Dataset[Event], watermarkDelay: String,
                        gapMinutes: Int): Dataset[Session] = {
@@ -45,34 +52,44 @@ object EventWindows {
     def toSession(userId: Long, st: SessionState): Session =
       Session(userId, new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end), st.n, st.total)
 
+    // coalesce sessions/events (sorted sweep) — reproduces the canonical
+    // "chain events whose successive gaps are ≤ gap" definition exactly
+    def merge(all: Seq[SessionState]): List[SessionState] = {
+      val sorted = all.sortBy(s => (s.start, s.end))
+      val out = scala.collection.mutable.ListBuffer.empty[SessionState]
+      for (s <- sorted) {
+        if (out.nonEmpty && s.start - out.last.end <= gapMs) {
+          val l = out.remove(out.length - 1)
+          out += SessionState(math.min(l.start, s.start), math.max(l.end, s.end),
+            l.n + s.n, l.total + s.total)
+        } else out += s
+      }
+      out.toList
+    }
+
+    // emit every session the watermark has sealed (no admissible event can
+    // reach ts ≤ end+gap < wm any more); hold and re-arm the rest
+    def flushSealed(userId: Long, state: GroupState[OpenSessions],
+                    sessions: List[SessionState], wm: Long): Iterator[Session] = {
+      val (closed, open) = sessions.partition(s => wm > s.end + gapMs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(math.max(open.map(_.end + gapMs).min, wm + 1))
+      }
+      closed.sortBy(_.start).iterator.map(toSession(userId, _))
+    }
+
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            // the watermark passed the open session's gap deadline: close it
-            val st = state.get
-            state.remove()
-            Iterator.single(toSession(userId, st))
-          } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var cur: SessionState = state.getOption.orNull
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              if (cur == null) cur = SessionState(t, t, 1, e.value)
-              else if (t - cur.end > gapMs) {
-                out += toSession(userId, cur) // in-batch gap: close immediately
-                cur = SessionState(t, t, 1, e.value)
-              } else cur = SessionState(cur.start, math.max(cur.end, t), cur.n + 1, cur.total + e.value)
-            }
-            if (cur != null) {
-              state.update(cur)
-              // close when the watermark reaches end+gap (strictly after the
-              // current watermark, as EventTimeTimeout requires)
-              state.setTimeoutTimestamp(math.max(cur.end + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSessions]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (state.hasTimedOut) flushSealed(userId, state, prev, wm)
+          else {
+            val evs = it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+            flushSealed(userId, state, merge(prev ++ evs), wm)
           }
         })
   }

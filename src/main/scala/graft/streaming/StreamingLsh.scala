@@ -50,8 +50,13 @@ object StreamingLsh {
   final case class Banded(band: Int, bandhash: Int, doc_id: Long,
                           ts: java.sql.Timestamp, sig: Array[Long])
   final case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double)
-  /** saturated=true ⇒ members is empty and stays empty until state expiry. */
-  final case class BucketState(members: List[(Long, Long, Array[Long])], saturated: Boolean)
+  /** saturated=true ⇒ members is empty and stays empty until the watermark
+    * passes `lastTs`. lastTs = max event time ever seen in this bucket —
+    * late members of a flooded bucket extend it, so the mute outlives the
+    * stragglers instead of dying on the first watermark advance.
+    */
+  final case class BucketState(members: List[(Long, Long, Array[Long])],
+                               saturated: Boolean, lastTs: Long)
 
   def minhashCandidatePairs(docs: DataFrame, tsCol: String, watermarkDelay: String,
                             bands: Int = 16, rowsPerBand: Int = 4,
@@ -79,14 +84,23 @@ object StreamingLsh {
       (_: (Int, Int), it: Iterator[Banded], state: GroupState[BucketState]) => {
         val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
         if (state.hasTimedOut) {
-          // sweep: drop expired members; clear the whole bucket when empty
-          val kept = state.get.members.filter(_._2 >= wm)
-          if (kept.isEmpty) state.remove()
-          else { state.update(BucketState(kept, state.get.saturated)); armTimeout(state, kept) }
+          val st = state.get
+          if (st.saturated) {
+            // the tombstone only expires once the watermark passes the
+            // bucket's last-seen event time — not on the first advance
+            if (wm > st.lastTs) state.remove()
+            else armSaturated(state, st)
+          } else {
+            // sweep: drop expired members; clear the whole bucket when empty
+            val kept = st.members.filter(_._2 >= wm)
+            if (kept.isEmpty) state.remove()
+            else { state.update(st.copy(members = kept)); armTimeout(state, kept) }
+          }
           Iterator.empty
         } else {
-          val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
-          if (prev.saturated) { drainArm(state, prev, wm); Iterator.empty }
+          val prev = state.getOption.getOrElse(
+            BucketState(Nil, saturated = false, lastTs = Long.MinValue))
+          if (prev.saturated) { drainArm(state, prev, it); Iterator.empty }
           else {
             // deterministic pairing order within the micro-batch
             val fresh = it.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
@@ -102,22 +116,33 @@ object StreamingLsh {
                 members = (r.doc_id, r.ts.getTime, r.sig) :: members
               }
             }
-            val next = if (saturated) BucketState(Nil, saturated = true)
-                       else BucketState(members, saturated = false)
+            // skipped post-saturation arrivals still count toward lastTs
+            val lastTs = (prev.lastTs +: fresh.map(_.ts.getTime)).max
+            val next = BucketState(if (saturated) Nil else members, saturated, lastTs)
             state.update(next)
-            armTimeout(state, next.members)
+            if (saturated) armSaturated(state, next) else armTimeout(state, next.members)
             out.iterator
           }
         }
       })
   }
 
-  /** Saturated tombstone: keep it until the watermark passes the bucket's
-    * last-seen event time so late members of a flooded bucket stay muted.
+  /** Saturated tombstone: late members of the flooded bucket are swallowed,
+    * but their event times extend the tombstone's life.
     */
-  private def drainArm(state: GroupState[BucketState], prev: BucketState, wm: Long): Unit = {
-    state.update(prev)
-    if (wm != Long.MinValue) state.setTimeoutTimestamp(wm + 1)
+  private def drainArm(state: GroupState[BucketState], prev: BucketState,
+                       it: Iterator[Banded]): Unit = {
+    var last = prev.lastTs
+    for (r <- it) last = math.max(last, r.ts.getTime)
+    val next = prev.copy(lastTs = last)
+    state.update(next)
+    armSaturated(state, next)
+  }
+
+  /** Arm a saturated tombstone's expiry from its last-seen event time. */
+  private def armSaturated(state: GroupState[BucketState], st: BucketState): Unit = {
+    state.update(st)
+    state.setTimeoutTimestamp(math.max(st.lastTs, state.getCurrentWatermarkMs()) + 1)
   }
 
   private def armTimeout(state: GroupState[BucketState],

@@ -75,4 +75,38 @@ class StreamingLshSpec extends AnyFunSuite {
       assert(late.isEmpty, s"expired bucket members still pairing: $late")
     } finally q.stop()
   }
+
+  test("saturated bucket stays muted until the watermark passes its last-seen event") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // identical texts ⇒ identical signatures ⇒ all bands collide in one bucket
+    val same = (0 until 40).map(j => s"flood_$j").mkString(" ")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = streaming.StreamingLsh.minhashCandidatePairs(docs, "ts", "10 minutes", bucketCap = 2)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_sat").start()
+    def emitted(): Set[(Long, Long)] =
+      spark.table("lsh_sat").select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+    try {
+      // b1: three members at 10:00 saturate the cap-2 bucket after (0,1) pairs
+      in.addData((0L until 3L).map(i => (i, t(0), same))); q.processAllAvailable()
+      // b2: straggler at 10:01 — swallowed, extends the tombstone to 10:01
+      in.addData(Seq((3L, t(1), same))); q.processAllAvailable()
+      // b3: two more at 10:05 (watermark is now 09:51 — the first advance past
+      // the arm-time watermark, where the old Nil-armed tombstone died and the
+      // bucket resumed pairing) — must STILL be muted
+      in.addData(Seq((4L, t(5), same), (5L, t(5), same))); q.processAllAvailable()
+      assert(emitted() === Set((0L, 1L)), s"tombstone leaked pairs: ${emitted()}")
+      // advance the watermark past the bucket's last-seen 10:05 → tombstone
+      // legitimately expires; a fresh pair in the same bucket key then emits
+      in.addData(Seq((100L, t(30), docText(100L)))); q.processAllAvailable()
+      in.addData(Seq((101L, t(40), docText(101L)))); q.processAllAvailable()
+      in.addData(Seq((6L, t(35), same), (7L, t(35), same))); q.processAllAvailable()
+      assert(emitted() === Set((0L, 1L), (6L, 7L)),
+        s"post-expiry bucket did not resume cleanly: ${emitted()}")
+    } finally q.stop()
+  }
 }

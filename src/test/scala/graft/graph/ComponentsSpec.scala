@@ -40,8 +40,8 @@ class ComponentsSpec extends AnyFunSuite {
       (0L until 9L).map(i => (700L + i, 701L + i)),            // chain
       (1L to 8L).map(i => (800L, 800L + i)),                   // star
       (0L until 10L).map(i => (900L + i, 900L + (i + 1) % 10)), // ring
-      Seq.fill(40)((1000L + rnd.nextInt(25), 1000L + rnd.nextInt(25)))
-        .filter(p => p._1 != p._2)                             // random multigraph
+      Seq.fill(40)((1000L + rnd.nextInt(25), 1000L + rnd.nextInt(25))), // random multigraph, self-loops kept
+      Seq((1100L, 1100L), (1101L, 1102L), (1102L, 1102L))      // self-loop-only node + loop inside a pair
     )
     for (g <- graphs) {
       val df = g.toDF("src", "dst")
@@ -62,6 +62,13 @@ class ComponentsSpec extends AnyFunSuite {
       .distinct().as[(Long, Long)].collect()
     assert(labels.length === 1000)
     assert(labels.forall(_._2 === 5000L))
+  }
+
+  test("self-loop-only nodes keep a self-label (match the min-label variant)") {
+    // node 60 has ONLY a self-loop; node 71 has a self-loop plus a real edge
+    val edges = Seq((60L, 60L), (70L, 71L), (71L, 71L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(60L -> 60L, 70L -> 70L, 71L -> 70L))
   }
 
   test("connected components: two big rings merge to their min label") {

@@ -71,6 +71,23 @@ class GeoPackageWriteSpec extends AnyFunSuite {
     assert(rows(12345)(2) === "file_12345.geojson")
   }
 
+  test("rootAt1 boundary: sqlite_master payload sweep across the one-page capacity window") {
+    // the window where the page-1 capacity check (100-byte header offset)
+    // fails but greedy packing still fits everything into a single offset-0
+    // leaf used to leave page 1 zeroed (unreadable schema); sweep CREATE-SQL
+    // padding across and beyond it — every size must round-trip
+    for (pad <- 3700 to 4300 by 7) {
+      val sql = "CREATE TABLE t (a TEXT) /* " + ("x" * pad) + " */"
+      val bytes = SqliteWrite.build(
+        Seq(SqliteWrite.Table("t", sql, Seq(Array[Any]("v")))), 0, 0)
+      val db = SqliteRead.open(bytes).get
+      val tabs = SqliteRead.tables(db)
+      assert(tabs.contains("t"), s"pad=$pad: schema page unreadable")
+      val rows = SqliteRead.scanTable(db, tabs("t")._1)
+      assert(rows.length === 1 && rows.head(0) === "v", s"pad=$pad")
+    }
+  }
+
   test("overflow chain: a cell larger than one page round-trips byte-exact") {
     val big = "x" * 10000 + "END"
     val t = SqliteWrite.Table("blobs", "CREATE TABLE blobs (id INTEGER PRIMARY KEY, data TEXT)",
