@@ -180,7 +180,12 @@ object SparkEntry {
     "q08_knn_join" -> ((s, dir) => {
       val pts = withCentroid(extracted(s, dir))
         .select(col("d").as("pid"), col("lonc").as("lon"), col("latc").as("lat"), col("cell"))
-      val qs = s.read.parquet(s"$dir/nation.parquet").collect().map { r =>
+      // driver-side query-point list: nation is a 25-row dim, but cap the
+      // collect explicitly — the driver-side knnJoin is only valid for small
+      // query sets (the distributed path is knnJoinBig, q48)
+      val qrows = s.read.parquet(s"$dir/nation.parquet").limit(10001).collect()
+      require(qrows.length <= 10000, "kNN query side exceeds driver cap; use knnJoinBig")
+      val qs = qrows.map { r =>
         val n = r.getAs[Int]("n_nationkey").toLong
         val (x0, y0, _, _) = Pages.polyBounds(n)
         (n, x0 + 12.0, y0 + 9.0)
@@ -987,20 +992,21 @@ object SparkEntry {
     // corpus-scale extents leave via parquet, not .gpkg.
     "q73_gpkg_roundtrip" -> ((s, dir) => {
       import s.implicits._
+      // through the CAPPED writer entry (GeoPackageWrite.write refuses more
+      // than maxRows): the only driver-side materialization in the query set
+      // is bounded by construction — pointing this sink at a corpus fails
+      // loudly with "write parquet instead" rather than OOMing the driver
       val summary = extracted(s, dir).filter(col("min_lon").isNotNull)
-        .select(col("d"), col("handler"), col("min_lon"), col("min_lat"),
-          col("max_lon"), col("max_lat"))
-        .collect()
-        .sortBy(_.getLong(0))
-      val feats = summary.map { r =>
-        sinks.GeoPackageWrite.Feature(s"page_${r.getLong(0)}",
-          Some(geo.Extent(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))),
-          r.getString(1), "text/html", None, "4326")
-      }
+        .orderBy(col("d"))
+        .select(concat(lit("page_"), col("d")).as("filename"), col("handler"),
+          lit("text/html").as("format"),
+          lit(null).cast("string").as("tbox_start"),
+          lit(null).cast("string").as("tbox_end"),
+          lit("4326").as("crs"),
+          col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
       val path = java.nio.file.Files.createTempFile("graft_q73_", ".gpkg")
       try {
-        java.nio.file.Files.write(path,
-          sinks.GeoPackageWrite.buildGpkg(feats.toSeq, "2024-01-01T00:00:00.000Z"))
+        sinks.GeoPackageWrite.write(summary, path.toString, "2024-01-01T00:00:00.000Z")
         val bytes = java.nio.file.Files.readAllBytes(path)
         val db = parse.SqliteRead.open(bytes).get
         val rows = parse.SqliteRead.scanTable(db, parse.SqliteRead.tables(db)("files")._1)

@@ -59,4 +59,41 @@ class Jp2Spec extends AnyFunSuite {
     val trunc = jp2.take(jp2.length - 5)
     Jp2.readJp2(trunc) // must not throw
   }
+
+  test("property: GMLJP2 grid math ≡ GeoJP2 affine over random grids, incl. rotated vectors") {
+    // the same grid synthesized through BOTH public conventions must yield
+    // the same extent: GMLJP2 origin is the CENTER of the first cell (the
+    // reader backs off half of each offset vector), GeoJP2's affine maps
+    // pixel-EDGE corners. All values are exact binary fractions with small
+    // magnitudes so both evaluation orders are float-exact — any mismatch is
+    // a real grid-math bug, not rounding.
+    val rnd = new scala.util.Random(20260817L)
+    def frac16(): Double = (rnd.nextInt(129) - 64) / 16.0 // [-4, 4] in 1/16 steps
+    var rotatedSeen = 0
+    for (trial <- 0 until 40) {
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(60)
+      // v1 ≠ 0 and v2 ≠ 0; ~half the trials get rotated/sheared vectors
+      def nonZero(): Double = { val v = frac16(); if (v == 0.0) 0.25 else v }
+      val axisAligned = trial % 2 == 0
+      val v1 = if (axisAligned) (nonZero(), 0.0) else (nonZero(), frac16())
+      val v2 = if (axisAligned) (0.0, -math.abs(nonZero())) else (frac16(), nonZero())
+      if (v1._2 != 0.0 || v2._1 != 0.0) rotatedSeen += 1
+      val px = (rnd.nextInt(1601) - 800) / 8.0
+      val py = (rnd.nextInt(1201) - 600) / 8.0
+      // shared corner: GML pos is the cell center, the affine origin the edge
+      val c00x = px - (v1._1 + v2._1) / 2
+      val c00y = py - (v1._2 + v2._2) / 2
+      val gml = Jp2.readJp2(graft.table.Jp2Synth.gmlJp2Vectors(w, h, px, py, v1, v2, 4326))
+      val geo = Jp2.readJp2(graft.table.Jp2Synth.geoJp2Affine(w, h,
+        Array(v1._1, v2._1, 0, c00x, v1._2, v2._2, 0, c00y, 0, 0, 0, 0, 0, 0, 0, 1), 4326))
+      assert(gml.nonEmpty && geo.nonEmpty, s"trial $trial: parse failed")
+      val (eg, ea) = (gml.get.extent.get, geo.get.extent.get)
+      assert(eg === ea,
+        s"trial $trial (w=$w h=$h v1=$v1 v2=$v2 pos=($px,$py)): GML=$eg affine=$ea")
+      assert(gml.get.epsg === Some(4326) && geo.get.epsg === Some(4326))
+      assert(gml.get.width === w && geo.get.width === w)
+    }
+    assert(rotatedSeen >= 10, s"rotation coverage too thin: $rotatedSeen")
+  }
 }

@@ -71,6 +71,26 @@ class GeoPackageWriteSpec extends AnyFunSuite {
     assert(rows(12345)(2) === "file_12345.geojson")
   }
 
+  test("capped writer entry: a DataFrame over maxRows is refused, not collected") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val df = spark.range(25).select(
+      concat(lit("f_"), col("id")).as("filename"), lit("vector").as("handler"),
+      lit("x").as("format"), lit(null).cast("string").as("tbox_start"),
+      lit(null).cast("string").as("tbox_end"), lit("4326").as("crs"),
+      lit(0.0).as("min_lon"), lit(0.0).as("min_lat"),
+      lit(1.0).as("max_lon"), lit(1.0).as("max_lat"))
+    val tmp = java.nio.file.Files.createTempFile("graft_cap_", ".gpkg")
+    try {
+      val e = intercept[IllegalArgumentException](
+        GeoPackageWrite.write(df, tmp.toString, "2024-01-01T00:00:00.000Z", maxRows = 10))
+      assert(e.getMessage.contains("write parquet instead"))
+      GeoPackageWrite.write(df, tmp.toString, "2024-01-01T00:00:00.000Z", maxRows = 25)
+      assert(graft.parse.GeoPackage.read(
+        java.nio.file.Files.readAllBytes(tmp)).get.nFeatures === 25)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("rootAt1 boundary: sqlite_master payload sweep across the one-page capacity window") {
     // the window where the page-1 capacity check (100-byte header offset)
     // fails but greedy packing still fits everything into a single offset-0
