@@ -995,9 +995,12 @@ object SparkEntry {
       // through the CAPPED writer entry (GeoPackageWrite.write refuses more
       // than maxRows): the only driver-side materialization in the query set
       // is bounded by construction — pointing this sink at a corpus fails
-      // loudly with "write parquet instead" rather than OOMing the driver
+      // loudly with "write parquet instead" rather than OOMing the driver.
+      // The exported slice is the first 50k extent-bearing pages by id
+      // (orderBy+limit = TakeOrdered, a distributed top-k, never a full
+      // sort-collect), so the summary artifact stays the same size at any sf
       val summary = extracted(s, dir).filter(col("min_lon").isNotNull)
-        .orderBy(col("d"))
+        .orderBy(col("d")).limit(50000)
         .select(concat(lit("page_"), col("d")).as("filename"), col("handler"),
           lit("text/html").as("format"),
           lit(null).cast("string").as("tbox_start"),
@@ -1810,7 +1813,7 @@ END AS gj FROM ext WHERE min_lon IS NOT NULL"""),
       "SELECT d AS doc_id, min_lat, min_lon, max_lat, max_lon FROM ext WHERE min_lon IS NOT NULL"),
 
     "q73_gpkg_roundtrip" -> (EXT +
-      "SELECT d AS doc_id, handler, min_lon, min_lat, max_lon, max_lat FROM ext WHERE min_lon IS NOT NULL"),
+      "SELECT d AS doc_id, handler, min_lon, min_lat, max_lon, max_lat FROM ext WHERE min_lon IS NOT NULL ORDER BY d LIMIT 50000"),
 
     "q74_provider_dispatch" ->
       """SELECT (l_orderkey*8 + l_linenumber) AS doc_id,

@@ -19,7 +19,13 @@ object SqliteRead {
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val raw = be.getShort(16) & 0xffff
     val pageSize = if (raw == 1) 65536 else raw
+    // format rule (fileformat2 §1.3): page size is a power of two in
+    // [512, 65536] and the usable size is ≥ 480. Rejecting anything else up
+    // front means no downstream size arithmetic (overflow-chain local/k/m)
+    // can go non-positive on a flipped header byte.
+    if (pageSize < 512 || (pageSize & (pageSize - 1)) != 0) return None
     val reserved = bytes(20) & 0xff
+    if (pageSize - reserved < 480) return None
     Some(Db(bytes, pageSize, pageSize - reserved))
   }
 

@@ -36,9 +36,11 @@ import graft.text.TextOps
   *   - a pair sharing several bucket keys is emitted once per sharing band
   *     (the batch op ends with dropDuplicates). Cross-band dedup is a
   *     watermarked `dropDuplicatesWithinWatermark` on (doc_a, doc_b) in the
-  *     NEXT query of a real pipeline (chaining it here would stack a second
+  *     NEXT query of the pipeline (chaining it here would stack a second
   *     stateful operator behind flatMapGroupsWithState, which Structured
-  *     Streaming rejects); parity tests distinct the collected output.
+  *     Streaming rejects) — each emitted pair carries the event time the
+  *     downstream dedup needs; StreamingPipelineSpec runs the full
+  *     three-query chain and parity-checks it against batch q23.
   *   - exact duplicates are collapsed upstream by [[StreamingDedup]] in a
   *     real pipeline (batch: `collapseExactDups`) — same chaining rule.
   *
@@ -49,7 +51,13 @@ object StreamingLsh {
 
   final case class Banded(band: Int, bandhash: Int, doc_id: Long,
                           ts: java.sql.Timestamp, sig: Array[Long])
-  final case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  /** `ts` is the pair's event time — the LATER of the two members' event
+    * times (the moment the pair became knowable), which is what a downstream
+    * watermarked operator (the cross-band `dropDuplicatesWithinWatermark`
+    * stage of a chained pipeline) needs to bound its state.
+    */
+  final case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double,
+                                 ts: java.sql.Timestamp)
   /** saturated=true ⇒ members is empty and stays empty until the watermark
     * passes `lastTs`. lastTs = max event time ever seen in this bucket —
     * late members of a flooded bucket extend it, so the mute outlives the
@@ -110,9 +118,10 @@ object StreamingLsh {
             for (r <- fresh if !saturated) {
               if (members.length + 1 > bucketCap) saturated = true
               else {
-                for ((oid, _, osig) <- members if oid != r.doc_id)
+                for ((oid, ots, osig) <- members if oid != r.doc_id)
                   out += CandidatePair(math.min(oid, r.doc_id), math.max(oid, r.doc_id),
-                    estJaccard(osig, r.sig))
+                    estJaccard(osig, r.sig),
+                    new java.sql.Timestamp(math.max(ots, r.ts.getTime)))
                 members = (r.doc_id, r.ts.getTime, r.sig) :: members
               }
             }
