@@ -636,25 +636,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tiles_hit"), sum("cnt").as("n_pages"))
     }),
 
-    // reference `placename` decoration (extent.py:930-957): the merged
-    // geometry's centroid reverse-geocodes to the nearest gazetteer entry
-    // (offline gazetteer top candidates; distance in squared degrees)
+    // reference `placename` decoration (extent.py:930-957 + gazetteer.py:
+    // 219-250 boundary polygons): each group's European-window footprint
+    // centroid reverse-geocodes against the ~300-entry bundled gazetteer —
+    // a region whose admin-boundary ring CONTAINS the centroid wins
+    // (cell-prefiltered broadcast PIP, smallest area then name on overlap);
+    // otherwise the nearest point entry via the engine's grid kNN join
+    // (cell-equi candidate rounds with certified exactness — the 12-row-era
+    // crossJoin-window shape would be quadratic against a real gazetteer)
     "q50_placename" -> ((s, dir) => {
-      import graft.parse.TextGeo
-      val gaz = TextGeo.gazetteer.toSeq
-        .map { case (n, hits) => (n, hits.head._1, hits.head._2) }.sortBy(_._1)
-      val gazDf = s.createDataFrame(gaz).toDF("pname", "plat", "plon")
-      val cent = extracted(s, dir).filter(col("min_lon").isNotNull)
+      import graft.parse.GazetteerTable
+      val cent = extracted(s, dir)
+        .filter(col("min_lon") >= -15 && col("max_lon") <= 25 &&
+          col("min_lat") >= 35 && col("max_lat") <= 60)
         .groupBy((col("d") % 97).as("g"))
         .agg(((min("min_lon") + max("max_lon")) / 2).as("cx"),
           ((min("min_lat") + max("max_lat")) / 2).as("cy"))
-      val w = Window.partitionBy("g").orderBy(
-        ((col("cx") - col("plon")) * (col("cx") - col("plon")) +
-          (col("cy") - col("plat")) * (col("cy") - col("plat"))).asc, col("pname").asc)
-      cent.crossJoin(broadcast(gazDf))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("g"), col("pname").as("placename"))
+        .localCheckpoint(true) // consumed 3x (PIP, kNN queries, final join)
+      // (a) region containment: probes carry a join-zoom cell, ring covers
+      //     prefilter the broadcast PIP to same-cell candidates
+      val rings = GazetteerTable.regions.sortBy(_.name).map { en =>
+        (en.name, en.ring.get.toSeq,
+          graft.cells.QuadKey.cover(graft.geo.Geo.envelope(en.ring.get).get,
+            Pages.JoinZoom).toSeq,
+          graft.geo.Geo.ringArea(en.ring.get.grouped(2).map(p => (p(0), p(1))).toArray))
+      }
+      val ringDf = s.createDataFrame(rings).toDF("poly_id", "ring", "cells", "area")
+      val probes = cent.select(col("g"), col("cx").as("lon"), col("cy").as("lat"),
+        graft.functions.CellEncode(col("cy"), col("cx"), Pages.JoinZoom).as("cell"))
+      val pipW = Window.partitionBy("g").orderBy(col("area").asc, col("poly_id").asc)
+      val pip = join.SpatialJoins.pipJoin(probes, ringDf)
+        .join(broadcast(ringDf.select("poly_id", "area")), Seq("poly_id"))
+        .withColumn("rk", row_number().over(pipW)).filter(col("rk") === 1)
+        .select(col("g"), col("poly_id").as("region"))
+      // (b) nearest point entry: pid in name-sorted order so the kNN
+      //     (dist2, pid) tie-break mirrors the oracle's (dist2, pname)
+      val gazPts = GazetteerTable.entries.sortBy(_.name).zipWithIndex.map {
+        case (en, i) => (i.toLong, en.name, en.hits.head._1, en.hits.head._2)
+      }
+      val gazDf = s.createDataFrame(gazPts).toDF("pid", "pname", "plat", "plon")
+      val queries = cent.select("g", "cx", "cy").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq // ≤97 by construction (d % 97)
+      val knn = join.SpatialJoins.knnJoin(queries,
+          gazDf.select(col("pid"), col("plon").as("lon"), col("plat").as("lat")), k = 1)
+        .join(broadcast(gazDf.select("pid", "pname")), Seq("pid"))
+        .select(col("qid").as("g"), col("pname"))
+      cent.join(pip, Seq("g"), "left")
+        .join(knn, Seq("g"))
+        .select(col("g"), coalesce(col("region"), col("pname")).as("placename"))
     }),
 
     // R2 hull MERGE with a closed-form oracle: the hot-cell pages (d%100>=80,
@@ -1070,6 +1099,22 @@ object SparkEntry {
   /** Shared closed-form CTE: per-page expected kind/extent/tbox (mirrors
     * graft.table.PayloadSpec exactly — see that file for the contract).
     */
+  /** q50 oracle VALUES, serialized from the bundled gazetteer: point entries
+    * (top-ranked hit) and region rectangle rings (ring corners 0/1 and 4/5 of
+    * the closed interleaved rect). Data mirroring, same contract as the EXT
+    * closed forms.
+    */
+  private def gazPointValuesSql: String =
+    graft.parse.GazetteerTable.entries.sortBy(_.name)
+      .map(en => s"('${en.name}', ${en.hits.head._1}, ${en.hits.head._2})")
+      .mkString(",\n  ")
+  private def gazRegionValuesSql: String =
+    graft.parse.GazetteerTable.regions.sortBy(_.name)
+      .map { en =>
+        val r = en.ring.get
+        s"('${en.name}', ${r(0)}, ${r(1)}, ${r(4)}, ${r(5)})"
+      }.mkString(",\n  ")
+
   private val EXT: String =
     """WITH p0 AS (SELECT (l_orderkey*8 + l_linenumber) AS d FROM lineitem),
 p1 AS (SELECT d, (d % 10) AS k,
@@ -1729,17 +1774,24 @@ rt AS (SELECT raster_id, gx.tx, gy.ty FROM (
 SELECT rt.raster_id, CAST(count(*) AS BIGINT) AS n_tiles_hit, CAST(sum(pt.cnt) AS BIGINT) AS n_pages
 FROM rt JOIN pt ON pt.tx = rt.tx AND pt.ty = rt.ty GROUP BY 1"""),
 
+    // gaz/reg VALUES are serialized from GazetteerTable (data, not logic —
+    // the containment/nearest rules themselves are hand-mirrored): region
+    // rings are rectangles so SQL containment is a strict range check (probes
+    // on the 1/128° grid can never touch the 1/256°-offset edges), and the
+    // kNN tie-break (dist2, pname) matches the engine's (dist2, pid) because
+    // pids are assigned in name order
     "q50_placename" -> (EXT +
-      """, cent AS (SELECT (d % 97) AS g, (min(min_lon)+max(max_lon))/2 AS cx, (min(min_lat)+max(max_lat))/2 AS cy
-FROM ext WHERE min_lon IS NOT NULL GROUP BY 1),
-gaz(pname, plat, plon) AS (VALUES
-  ('Amsterdam', 52.375, 4.875), ('Barcelona', 41.375, 2.125), ('Berlin', 52.5, 13.375),
-  ('Cambridge', 52.25, 0.125), ('Lisbon', 38.75, -9.125), ('London', 51.5, -0.125),
-  ('Madrid', 40.5, -3.625), ('Muenster', 51.9625, 7.625), ('Paris', 48.875, 2.375),
-  ('Rome', 41.875, 12.5), ('Springfield', 39.75, -89.625), ('Vienna', 48.25, 16.375)),
-r AS (SELECT g, pname, row_number() OVER (PARTITION BY g ORDER BY
+      s""", cent AS (SELECT (d % 97) AS g, (min(min_lon)+max(max_lon))/2 AS cx, (min(min_lat)+max(max_lat))/2 AS cy
+FROM ext WHERE min_lon >= -15 AND max_lon <= 25 AND min_lat >= 35 AND max_lat <= 60 GROUP BY 1),
+gaz(pname, plat, plon) AS (VALUES $gazPointValuesSql),
+reg(rname, rx0, ry0, rx1, ry1) AS (VALUES $gazRegionValuesSql),
+pip AS (SELECT g, rname, row_number() OVER (PARTITION BY g ORDER BY (rx1-rx0)*(ry1-ry0), rname) AS rk
+  FROM cent JOIN reg ON cx > rx0 AND cx < rx1 AND cy > ry0 AND cy < ry1),
+knn AS (SELECT g, pname, row_number() OVER (PARTITION BY g ORDER BY
   (cx - plon)*(cx - plon) + (cy - plat)*(cy - plat), pname) AS rk FROM cent, gaz)
-SELECT g, pname AS placename FROM r WHERE rk = 1"""),
+SELECT c.g, coalesce(p.rname, k.pname) AS placename
+FROM cent c LEFT JOIN (SELECT g, rname FROM pip WHERE rk = 1) p USING (g)
+JOIN (SELECT g, pname FROM knn WHERE rk = 1) k USING (g)"""),
 
     // LATERAL top-N, not a materialized q × c cross join: the old window-
     // over-cross-join form OOMed DuckDB at sf0.1 (2.3 B candidate rows);

@@ -33,23 +33,11 @@ object TextGeo {
     * Deterministic stand-in for the reference's Nominatim lookups (limit-5
     * candidate lists, reference: gazetteer.py:594-650); coordinates are exact
     * binary fractions so downstream golden values are float-stable. Names with
-    * several candidates exercise the drop/top ambiguity strategies.
+    * several candidates exercise the drop/top ambiguity strategies. The
+    * bundled table ([[GazetteerTable]]) carries ~300 entries plus region
+    * boundary rings for the reverse-geocode path.
     */
-  val gazetteer: Map[String, Seq[(Double, Double)]] = Map(
-    "Amsterdam" -> Seq((52.375, 4.875)),
-    "Berlin" -> Seq((52.5, 13.375)),
-    "Paris" -> Seq((48.875, 2.375)),
-    "Madrid" -> Seq((40.5, -3.625)),
-    "Rome" -> Seq((41.875, 12.5)),
-    "Muenster" -> Seq((51.9625, 7.625)),
-    "Barcelona" -> Seq((41.375, 2.125)),
-    "London" -> Seq((51.5, -0.125)),
-    "Vienna" -> Seq((48.25, 16.375)),
-    "Lisbon" -> Seq((38.75, -9.125)),
-    // ambiguous names (several gazetteer hits, ranked)
-    "Springfield" -> Seq((39.75, -89.625), (42.125, -72.5)),
-    "Cambridge" -> Seq((52.25, 0.125), (42.375, -71.125)),
-  )
+  val gazetteer: Map[String, Seq[(Double, Double)]] = GazetteerTable.byName
 
   /** Ambiguity strategy (reference: gazetteer.py:606-607 + handle_text.py
     * ner_ambiguity default "drop"): a mention with >1 candidate hit is skipped
@@ -109,24 +97,33 @@ object TextGeo {
       if (raw.nonEmpty && raw.charAt(0) == '﻿') raw.substring(1) else raw,
       java.text.Normalizer.Form.NFC)
 
-    // places: every gazetteer-name mention is a provenance span; only mentions
-    // that RESOLVE (unambiguous, or top-ranked under "top") contribute points
+    // places: every gazetteer-name mention at word boundaries is a provenance
+    // span; only mentions that RESOLVE (unambiguous, or top-ranked under
+    // "top") contribute points. One token-indexed pass (the same PhraseMatcher
+    // shape as the period scan below): each letter-run does a single hash
+    // lookup into GazetteerTable.byFirstToken, then full surfaces (longest
+    // first) verify in place — O(tokens) regardless of table size, where the
+    // old per-name indexOf sweep was O(names × length) and priced a
+    // 300-entry gazetteer into the q01 hot path. Equivalent by construction:
+    // a token start has a non-letter before it, the after-check matches the
+    // old loop, and no entry name is a word-boundary substring of another
+    // (GazetteerSpec invariant), so per-position matches are unique.
     val places = ArrayBuffer.empty[Span]
     val points = ArrayBuffer.empty[(Double, Double)]
     val pts = ArrayBuffer.empty[Double]
-    for (name <- gazetteer.keys) {
-      var idx = text.indexOf(name)
-      while (idx >= 0) {
-        val before = if (idx == 0) ' ' else text.charAt(idx - 1)
-        val after = if (idx + name.length >= text.length) ' ' else text.charAt(idx + name.length)
-        if (!before.isLetter && !after.isLetter) {
-          places += Span(name, idx, idx + name.length)
-          resolvePlace(name, ambiguity).foreach { case (lat, lon) =>
-            points += ((lon, lat))
-            pts += lon; pts += lat
-          }
+    val placeToken = "[A-Za-z]+".r
+    for (m <- placeToken.findAllMatchIn(text);
+         surfaces <- GazetteerTable.byFirstToken.get(m.matched)) {
+      val start = m.start
+      surfaces.find { name =>
+        text.regionMatches(start, name, 0, name.length) &&
+          (start + name.length >= text.length || !text.charAt(start + name.length).isLetter)
+      }.foreach { name =>
+        places += Span(name, start, start + name.length)
+        resolvePlace(name, ambiguity).foreach { case (lat, lon) =>
+          points += ((lon, lat))
+          pts += lon; pts += lat
         }
-        idx = text.indexOf(name, idx + 1)
       }
     }
     val extent = Geo.envelope(pts.toArray)

@@ -18,13 +18,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // queries whose DEFINITION is a broadcast non-equi join: q09 joins on a
   // broadcast interval-overlap predicate; q22 is the brute-force exact ANN
-  // baseline (broadcast probes x corpus IS the operator); q50 reverse-
-  // geocodes ~100 merged groups against a tiny broadcast gazetteer (nearest-
-  // entry needs every candidate). Everything else must be equi/broadcast-hash.
-  // ... and q55 broadcasts the 1-row corpus-size scalar to every line (the
-  // scalar-broadcast idiom).
+  // baseline (broadcast probes x corpus IS the operator). Everything else
+  // must be equi/broadcast-hash — including q50, whose reverse-geocode moved
+  // from a crossJoin-window to the cell-prefiltered PIP + grid kNN join when
+  // the gazetteer scaled to ~300 entries. ... and q55 broadcasts the 1-row
+  // corpus-size scalar to every line (the scalar-broadcast idiom).
   private val nonEquiByDesign =
-    Set("q09_temporal_join", "q22_ann_topk", "q50_placename", "q55_boilerplate_strip")
+    Set("q09_temporal_join", "q22_ann_topk", "q55_boilerplate_strip")
 
   test("no query plans a cartesian product or unplanned nested-loop join") {
     assume(hasData)
