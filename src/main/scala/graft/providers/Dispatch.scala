@@ -394,7 +394,9 @@ object Dispatch {
       })
 
   private val gsw = Rung("GeoScienceWorld", Nil, ref => {
-    val pat = """^https?://pubs\.geoscienceworld\.org/"""
+    // host alone is not enough: the reference's _GSW_URL_RE requires an
+    // article(-abstract) or georef/record path (GeoScienceWorld.py:34-37)
+    val pat = """^https?://pubs\.geoscienceworld\.org/(?:georef/record/|[^/]+/(?:[^/]+/)?article(?:-abstract)?/)"""
     if (matches(pat, ref)) Some(PMatch("GeoScienceWorld", Map("article_url" -> ref)))
     else {
       val url = offlineUrl(ref)
@@ -437,7 +439,11 @@ object Dispatch {
     })
 
   private val github = Rung("GitHub", Nil, ref =>
-    if (matches("""^https?://github\.com/""", ref)) Some(PMatch("GitHub", Map.empty)) else None)
+    // owner AND repo are both required (_GITHUB_URL_RE, GitHub.py:26-33) —
+    // a bare profile URL like github.com/solo is not a repository
+    if (matches("""^https?://github\.com/[^/]+/[^/]+""", ref))
+      Some(PMatch("GitHub", Map.empty))
+    else None)
 
   private val knownGitlabHosts = Set("gitlab.com", "git.rwth-aachen.de", "zivgitlab.uni-muenster.de",
     "git.gfz-potsdam.de", "codebase.helmholtz.cloud", "gitlab.opencode.de",
@@ -499,6 +505,11 @@ object Dispatch {
     bgr, baw, mdide, gdide, opara, senckenberg, ckan, mendeley, deims, nfdi4earth,
     halodb, seanoe, gsw, ojs, janeway, ukceh, stac, github, gitlab, forgejo, swh,
     remoteRaster)
+
+  /** Every rung name in ladder order — the coverage surface ProvidersSpec
+    * asserts goldens against, so a new rung without goldens fails CI.
+    */
+  def rungNames: Seq[String] = ladder.map(_.name)
 
   /** Offline `find_provider`: DOI-prefix fast path (first prefix owner only,
     * providers.py:31-51), then full in-order validation. Rungs never throw;

@@ -157,6 +157,32 @@ IDENTIFIERS = [
     "10.1000/example.doi", "10.1234/something", "http://example.com",
     "not an identifier at all", "ftp://archive.example.org/data.zip",
     "https://bitbucket.org/user/repo", "",
+    # per-rung negative coverage (round-5: every rung gets >=1 in-family
+    # identifier the rung REJECTS, so the spec's 37/37 coverage table can
+    # assert both directions per rung)
+    "https://dataverse.harvard.edu/dataset.xhtml",
+    "10.35097/", "https://arcticdata.io/catalog/view/",
+    "https://search.dataone.org/view/", "https://www.gbif.org/dataset/not-a-uuid",
+    "https://nokis.mdi-de-dienste.org/trefferanzeige?docuuid=",
+    "https://www.geoportal.de/Metadata/", "https://data.mendeley.com/datasets/",
+    "https://deims.org/about", "https://onestop4all.nfdi4earth.de/search?q=x",
+    "https://halo-db.pa.op.dlr.de/", "https://www.seanoe.org/home",
+    "https://pubs.geoscienceworld.org/", "10.5285/not-a-uuid",
+    "https://example.com/collections", "https://github.com/solo",
+    "https://gitlab.com/solo", "swh:1:dir:zzz",
+    "https://example.com/photo.png",
+    # the reference is LENIENT on 10.35097/ / empty arcticdata view /
+    # non-uuid gbif dataset ids (captured as matches above) — these are the
+    # actually-rejected in-family shapes
+    "https://www.radar-service.eu/radar/en/search",
+    "https://arcticdata.io/about", "https://www.gbif.org/occurrence/123",
+    # OJS / Janeway landing pages: these rungs are network-only in the
+    # reference (sniffing needs a fetch), so their OFFLINE contract is None
+    # even for perfectly-shaped journal URLs — locked here both ways
+    "https://revistas.ucm.es/index.php/FITE/article/view/61027",
+    "https://journals.sfu.ca/index.php/abc/article/view/99",
+    "https://journal.example.org/article/id/123/",
+    "https://openlibhums.org/article/id/4577/",
 ]
 
 
