@@ -1092,6 +1092,45 @@ object SparkEntry {
         .select(col("d").as("doc_id"),
           urlUdf(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat")).as("url"))
     }),
+
+    // Streaming sessionization, driver-checkable: the events table replayed
+    // as an ordered multi-batch file stream (streaming.Replay staging
+    // contract — no late drops, sentinel-driven final flush) through
+    // sessionizeStream's watermark-sealed cross-batch state, into a parquet
+    // file sink. The emitted set equals the canonical batch gap-split, which
+    // the oracle computes with lag/sum window SQL — so this row checks the
+    // genuinely streamed execution path end-to-end. total_value is omitted
+    // from the compared projection (a cross-engine double SUM is not
+    // bit-reproducible; n_events/min/max are).
+    "q75_sessions_stream" -> ((s, dir) => {
+      import s.implicits._
+      val staged = streaming.Replay.stageEventReplay(s, dir)
+      val evSchema = org.apache.spark.sql.Encoders.product[streaming.EventWindows.Event].schema
+      val in = s.readStream.schema(evSchema).option("maxFilesPerTrigger", "1")
+        .parquet(staged.dataDir).as[streaming.EventWindows.Event]
+      val sessions = streaming.EventWindows.sessionizeStream(in, "30 minutes", gapMinutes = 30)
+      streaming.Replay.runToParquet(s, sessions.toDF, staged.root)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+    }),
+
+    // Streaming watermarked tumbling-window aggregation over the same
+    // ordered replay: the sealed-window append output must equal the batch
+    // q27 answer row-for-row (same oracle SQL), moving the windowed-agg
+    // stream surface from ScalaTest parity onto a CORRECTNESS row.
+    "q76_window_stream" -> ((s, dir) => {
+      val staged = streaming.Replay.stageEventReplay(s, dir)
+      val evSchema = org.apache.spark.sql.Encoders.product[streaming.EventWindows.Event].schema
+      val in = s.readStream.schema(evSchema).option("maxFilesPerTrigger", "1")
+        .parquet(staged.dataDir)
+      streaming.Replay.runToParquet(s, streaming.EventWindows.windowedCounts(in), staged.root)
+        .filter(col("event_type") =!= "sentinel")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("cnt"), col("min_value"), col("max_value"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1905,5 +1944,36 @@ replace(replace(replace(replace(replace(replace(replace(
   END || '}]}',
   '{', '%7B'), '}', '%7D'), '"', '%22'), ':', '%3A'), ',', '%2C'), '[', '%5B'), ']', '%5D')
 AS url FROM ext WHERE min_lon IS NOT NULL"""),
+
+    // canonical gap-split sessionization (30-min gap): break on gap > 30min,
+    // running sum of breaks = session id, one row per (user, session). The
+    // streamed path must emit exactly this set (Replay staging guarantees
+    // every session is watermark-sealed before the stream drains).
+    "q75_sessions_stream" ->
+      """WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s2 GROUP BY user_id, sid""",
+
+    // identical to the batch q27 oracle: the streamed sealed-window append
+    // output must reproduce the batch tumbling-window aggregation exactly
+    "q76_window_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+CAST(count(*) AS BIGINT) AS cnt, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1,2""",
   )
 }
