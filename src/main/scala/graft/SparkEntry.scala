@@ -569,12 +569,18 @@ object SparkEntry {
     "q42_pointcloud_tbox" -> ((s, dir) =>
       graft.table.PointCloudTable.tboxes(graft.table.PointCloudTable.headers(s, dir))),
 
-    // dedup: embedding-cosine near-dup pairs via LSH buckets, CONTAINMENT-
-    // checked: identical embeddings are planted (vec_id+1000000 clones for
-    // vec_id % 20 == 0), which share every sign bucket by construction, so
-    // the oracle asserts all planted clone pairs are emitted with cosine 1.0
-    // (the emitted set's ≥threshold floor is structural — cosineNearDupPairs
-    // re-checks exact cosine before emitting).
+    // dedup: embedding-cosine near-dup pairs, CONTAINMENT-checked: identical
+    // embeddings are planted (vec_id+1000000 clones for vec_id % 20 == 0)
+    // and the oracle asserts every planted clone pair is emitted with cosine
+    // 1.0. Identity recall is STRUCTURAL, not probabilistic: byte-identical
+    // vectors emit exact canonical→member star pairs independent of the LSH
+    // bucket caps (the sf1 replay caught hot sign-buckets overflowing the
+    // cap and silently dropping 508/1000 planted pairs under the old
+    // buckets-only design). The star pair (a, a+1e6) equals the planted pair
+    // because base embeddings are pairwise distinct at every sf (asserted in
+    // DedupSpec — a base-level byte collision would make a different id the
+    // group canonical), and the ≥threshold floor on the near-dup half stays
+    // structural (exact cosine re-check before emitting).
     "q43_embed_neardup" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val embDup = emb.select("vec_id", "embedding")

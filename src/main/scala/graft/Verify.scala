@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — dump only those
+    // (incremental re-runs into an existing outDir after adding queries)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     // 8 threads: 65 queries run serially, so per-query parallelism is the
     // only wall-time lever; the driver can still override via SPARK_GRAFT_CPUS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -22,7 +26,9 @@ object Verify {
     var spark = build()
     System.setProperty("graft.cacheExtracted", "true") // share the parse stage across queries
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // one query dying hard (a fatal executor error stops the whole
       // SparkContext in local mode) must not take the rest of the dump with
       // it — rebuild the session and carry on

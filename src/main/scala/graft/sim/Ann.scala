@@ -67,18 +67,46 @@ object Ann {
 
   val signBitsUdf = udf((v: Seq[Float], planes: Int) => signBits(v, planes))
 
-  /** Embedding-cosine near-duplicate pairs: candidates from shared LSH
-    * sign-buckets (occupancy-capped — a bucket above `bucketCap` is a
-    * degenerate clone cluster whose pair count grows quadratically), exact
-    * cosine re-check against the threshold. Embeddings are joined back AFTER
-    * pair dedup, so the bucket shuffle carries only ids — never the vectors,
-    * and never the corpus cross product.
+  /** Embedding-cosine near-duplicate pairs, in two structurally different
+    * halves (mirroring `TextOps.minhashCandidatePairs`' exact-dup collapse):
+    *
+    *  1. **Identity pairs are exact, not probabilistic.** Byte-identical
+    *     embeddings are grouped (hash aggregation keyed on the vector itself
+    *     — no hash-collision risk) and each group emits canonical→member
+    *     *star* pairs at cos 1.0: linear in group size, so a mass-duplicated
+    *     embedding (boilerplate images, empty docs) can neither blow up
+    *     O(n²) nor lose its own duplicate pairs. Before this split, identity
+    *     recall depended on LSH bucket survival — at 10× the gate scale, hot
+    *     clusters overflowed `bucketCap` and over half the planted identical
+    *     pairs vanished (caught by the sf1 oracle replay).
+    *  2. **Near-dup candidates come from LSH sign-buckets over one
+    *     representative per identity group** (occupancy-capped — a bucket
+    *     above `bucketCap` is a degenerate near-clone cluster whose pair
+    *     count grows quadratically; the cap now gates only approximate
+    *     near-dup recall, never identity recall), exact cosine re-check
+    *     against the threshold. Embeddings are joined back AFTER pair dedup,
+    *     so the bucket shuffle carries only ids — never the vectors, and
+    *     never the corpus cross product.
+    *
+    * The halves are disjoint by construction: a non-canonical member never
+    * reaches the LSH side, and two distinct representatives are never
+    * byte-identical.
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          tables: Int = 4, bitsPerTable: Int = 8,
                          bucketCap: Int = 1000): DataFrame = {
     val numPlanes = tables * bitsPerTable
-    val withBits = vectors.select(col("vec_id"),
+    // identity half: group on the vector value, star from the min id
+    val canon = vectors.groupBy(col("embedding"))
+      .agg(min("vec_id").as("_canon"))
+    val idPairs = vectors.join(canon, Seq("embedding"))
+      .filter(col("vec_id") =!= col("_canon"))
+      .select(col("_canon").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(1.0).as("cos"))
+    // near-dup half: LSH over one representative per identity group
+    val reps = vectors
+      .join(canon.select(col("_canon").as("vec_id")), Seq("vec_id"), "left_semi")
+    val withBits = reps.select(col("vec_id"),
       signBitsUdf(col("embedding"), lit(numPlanes)).as("_bits"))
     val buckets = withBits.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
@@ -99,6 +127,7 @@ object Ann {
       .withColumn("cos", graft.functions.CosineSim(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
+      .unionByName(idPairs)
   }
 
   /** IVF coarse-quantizer index: the driver-side centroid list plus the

@@ -101,7 +101,24 @@ class DedupSpec extends AnyFunSuite {
     assert(coldCapped === coldUncapped)
   }
 
-  test("embedding near-dup bucket cap bounds clone clusters") {
+  test("q43 oracle precondition: base embeddings are pairwise distinct at every sf") {
+    // The q43 star-pair oracle is exact only if no two base vec_ids carry
+    // byte-identical embeddings (a collision would make a different id the
+    // identity-group canonical, so the planted (a, a+1e6) pair would emit as
+    // (other, a)/(other, a+1e6) instead). Deterministic data ⇒ assert it.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1", "/root/repo/.tmp/sf1")
+      .filter(d => new java.io.File(s"$d/embeddings.parquet").exists())
+    assert(dirs.size >= 3)
+    for (d <- dirs) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val distinct = emb.select("embedding").distinct().count()
+      assert(distinct === n, s"$d: $n rows but only $distinct distinct embeddings")
+    }
+  }
+
+  test("embedding identity pairs are linear star pairs, exact at any bucketCap") {
     val dim = 8
     def vec(seed: Int): Array[Float] = {
       val r = new java.util.Random(seed)
@@ -110,12 +127,20 @@ class DedupSpec extends AnyFunSuite {
     val clones = (0L until 80L).map(i => (i, vec(7))) // identical embeddings
     val rest = (1000L until 1040L).map(i => (i, vec(i.toInt)))
     val emb = (clones ++ rest).toDF("vec_id", "embedding")
-    val capped = graft.sim.Ann.cosineNearDupPairs(emb, threshold = 0.9, bucketCap = 10)
-      .select("vec_a", "vec_b").as[(Long, Long)].collect()
-    assert(!capped.exists { case (a, b) => a < 80 && b < 80 }, "clone cluster must be capped")
-    val uncapped = graft.sim.Ann.cosineNearDupPairs(emb, threshold = 0.9, bucketCap = 1000000)
-      .select("vec_a", "vec_b").as[(Long, Long)].collect()
-    assert(uncapped.count { case (a, b) => a < 80 && b < 80 } > 3000)
+    // identity recall is structural: the 80-clone cluster emits exactly its
+    // 79 canonical→member star pairs (cos 1.0) — linear, never O(n²) — and
+    // the result is byte-identical whether the LSH buckets are saturated
+    // (cap 10 « cluster 80) or unbounded. Before the identity/near split,
+    // a saturated bucket silently dropped the cluster's own duplicate pairs
+    // (the sf1-replay q43 failure).
+    for (cap <- Seq(10, 1000000)) {
+      val got = graft.sim.Ann.cosineNearDupPairs(emb, threshold = 0.9, bucketCap = cap)
+        .filter("vec_a < 80 AND vec_b < 80").collect()
+      assert(got.length === 79, s"cap=$cap: expected 79 star pairs, got ${got.length}")
+      assert(got.forall(r => r.getLong(0) === 0L), "star pairs must come from the canonical (min) id")
+      assert(got.forall(r => r.getDouble(2) === 1.0))
+      assert(got.map(_.getLong(1)).toSet === (1L until 80L).toSet)
+    }
   }
 
   test("groupedSizeSelect: groups are atomic, limit respected, strategies order correctly") {

@@ -29,29 +29,37 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    import time
+    t0 = time.time()
+    def record(name, val):
+        results[name] = val
+        print(f"[{time.time()-t0:7.1f}s] {name:24s} {val}", flush=True)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
+        if only is not None and name not in only:
+            continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
-            results[name] = "NO_OUTPUT"
+            record(name, "NO_OUTPUT")
             continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(got)}"
+            record(name, f"ROWS_ONLY rows={len(got)}")
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE_SQL_ERROR {e}"
+            record(name, f"ORACLE_SQL_ERROR {e}")
             continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA_MISMATCH got={list(g.columns)} exp={list(e.columns)}"
+            record(name, f"SCHEMA_MISMATCH got={list(g.columns)} exp={list(e.columns)}")
             continue
         if len(g) != len(e):
-            results[name] = f"ROWCOUNT got={len(g)} exp={len(e)}"
+            record(name, f"ROWCOUNT got={len(g)} exp={len(e)}")
             continue
         mismatch = None
         for c in g.columns:
@@ -68,7 +76,7 @@ def main(sf_dir, out_dir):
                 i = int(neq.to_numpy().nonzero()[0][0]) if hasattr(neq, "to_numpy") else int(neq.nonzero()[0][0])
                 mismatch = f"COL {c} row {i}: got={g[c].iloc[i]!r} exp={e[c].iloc[i]!r}"
                 break
-        results[name] = mismatch or "OK"
+        record(name, mismatch or "OK")
     ok = sum(1 for v in results.values() if v == "OK")
     ro = sum(1 for v in results.values() if str(v).startswith("ROWS_ONLY"))
     for k, v in results.items():
