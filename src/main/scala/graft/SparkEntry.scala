@@ -1838,19 +1838,43 @@ SELECT c.g, coalesce(p.rname, k.pname) AS placename
 FROM cent c LEFT JOIN (SELECT g, rname FROM pip WHERE rk = 1) p USING (g)
 JOIN (SELECT g, pname FROM knn WHERE rk = 1) k USING (g)"""),
 
-    // LATERAL top-N, not a materialized q × c cross join: the old window-
-    // over-cross-join form OOMed DuckDB at sf0.1 (2.3 B candidate rows);
-    // per-probe streaming top-3 is row-for-row identical (top-3 of m
-    // duplicated probe copies == m copies' top-3 re-ranked) with O(3) memory
+    // Cell-bucketed certified kNN, the third form of this oracle — each one
+    // forced by running it at 10× the previous scale. The window-over-cross-
+    // join OOMed DuckDB at sf0.1 (2.3 B rows); its LATERAL top-3 replacement
+    // was memory-bounded but DuckDB decorrelates LATERAL into that same
+    // quadratic join, which at sf1 (52 k probes × 5.2 M points = 2.7e11
+    // candidates) needs TBs of spill. This form is linear and EXACT BY
+    // CONSTRUCTION, not by mirroring the engine: candidates come from an
+    // equi-join on a coarse R-cell grid (probe's 3×3 cell block ⊇ the closed
+    // R-box ⊇ the closed R-ball), ranked per probe, and every probe's result
+    // is CERTIFIED in-SQL — rank 3 must exist with dist2 ≤ R² (a point
+    // outside the R-box has dist2 > R² strictly, so nothing outside the
+    // candidate set can displace a certified top-3; ties break on (dist2,
+    // pid) inside a set that provably contains all contenders). A probe that
+    // fails certification poisons its rank to −1, which can never match the
+    // engine's output — the compare turns red instead of silently passing a
+    // truncated answer. R adapts to corpus density (~0.1–100 points/deg²
+    // across sf0.001→sf1) so the certified ball always holds ≫3 points.
     "q48_knn_big" -> (EXT +
       """, c AS (SELECT d, (min_lon+max_lon)/2 AS lon, (min_lat+max_lat)/2 AS lat FROM ext WHERE min_lon IS NOT NULL),
 q AS (SELECT d AS qid, lon AS qlon, lat AS qlat FROM c WHERE d % 100 = 7),
-top3 AS (SELECT q.qid, l.pid, l.dist2 FROM q, LATERAL (
-  SELECT c.d AS pid,
-    (c.lon - q.qlon)*(c.lon - q.qlon) + (c.lat - q.qlat)*(c.lat - q.qlat) AS dist2
-  FROM c ORDER BY dist2, c.d LIMIT 3) l),
-r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM top3)
-SELECT qid, CAST(rank AS BIGINT) AS rank, pid, dist2 FROM r WHERE rank <= 3"""),
+rr AS (SELECT CASE WHEN n >= 1000000 THEN 2.0 WHEN n >= 100000 THEN 6.0
+              WHEN n >= 10000 THEN 16.0 ELSE 400.0 END AS rad
+       FROM (SELECT count(*) AS n FROM c)),
+cc AS (SELECT c.d, c.lon, c.lat, CAST(floor(c.lon/rr.rad) AS BIGINT) AS cx,
+              CAST(floor(c.lat/rr.rad) AS BIGINT) AS cy FROM c, rr),
+qn AS (SELECT q.qid, q.qlon, q.qlat,
+              CAST(floor(q.qlon/rr.rad) AS BIGINT) + dx.v AS cx,
+              CAST(floor(q.qlat/rr.rad) AS BIGINT) + dy.v AS cy
+       FROM q, rr, (VALUES (-1),(0),(1)) dx(v), (VALUES (-1),(0),(1)) dy(v)),
+cand AS (SELECT qn.qid, cc.d AS pid,
+    (cc.lon - qn.qlon)*(cc.lon - qn.qlon) + (cc.lat - qn.qlat)*(cc.lat - qn.qlat) AS dist2
+  FROM qn JOIN cc ON cc.cx = qn.cx AND cc.cy = qn.cy),
+r AS (SELECT qid, pid, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rank FROM cand),
+top AS (SELECT * FROM r WHERE rank <= 3),
+cert AS (SELECT qid, (count(*) = 3 AND max(dist2) <= (SELECT rad*rad FROM rr)) AS ok FROM top GROUP BY qid)
+SELECT t.qid, CAST(CASE WHEN cert.ok THEN t.rank ELSE -1 END AS BIGINT) AS rank, t.pid, t.dist2
+FROM top t JOIN cert USING (qid)"""),
 
     "q47_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings),
