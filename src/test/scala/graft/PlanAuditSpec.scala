@@ -79,4 +79,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q23 sorts a join side:\n$p")
     assert(p.contains("ShuffledHashJoin"), "expected the hinted hash semi join")
   }
+
+  test("embedding identity grouping is hash-based on the vector key (round-5 fix)") {
+    assume(hasData)
+    // the identity half of cosineNearDupPairs groups on the raw
+    // array<float> column; Spark must plan that as a HashAggregate (array
+    // grouping keys are UnsafeRow-encodable) — a SortAggregate here would
+    // mean sorting the full corpus by vector bytes at 100 TB
+    val p = planOf("q43_embed_neardup")
+    assert(!p.contains("SortAggregate"), s"q43 identity groupBy fell back to SortAggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"expected a hash aggregation in q43:\n$p")
+  }
 }
