@@ -1137,6 +1137,41 @@ object SparkEntry {
         .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"), col("cnt"), col("min_value"), col("max_value"))
     }),
+
+    // substring-level (window) dedup over the planted-dup corpus: per doc,
+    // how many of its sliding 8-token windows occur verbatim in ≥2 distinct
+    // docs — the hash-window analog of exact-substring training-data dedup
+    // (Lee et al. 2022); planted exact copies duplicate EVERY window, the
+    // near/rep trailers duplicate all but the boundary-crossing ones, and the
+    // oracle recomputes the whole thing from the text
+    "q77_span_dedup" -> ((s, dir) =>
+      TextOps.spanDupStats(docsDup(s, dir), w = 8)),
+
+    // corpus cardinality sketch: per-language KMV (k=32) distinct-text count
+    // — the sketch (k minima of md5) and its estimator are deterministic, so
+    // the oracle reproduces est_distinct bit-for-bit; languages with < k
+    // distinct texts exercise the exact branch, the rest the estimator branch
+    "q78_kmv_distinct" -> ((s, dir) =>
+      text.Sketches.kmvDistinct(docs(s, dir), col("text"), col("lang"), k = 32)
+        .withColumnRenamed("grp", "lang")),
+
+    // SemDeDup (semantic dedup over embedding clusters): planted byte-exact
+    // clones AND 2x-scaled clones (cos exactly ~1.0, different bytes — they
+    // exercise the non-identity path) must be dropped; every base vector must
+    // survive (natural pairwise cosines measure <= 0.61 at every sf vs
+    // tau=0.8 — margin asserted in DedupSpec so the oracle stays exact)
+    "q79_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val scaled = emb.filter(col("vec_id") % 20 === 10)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val embDup = emb.select("vec_id", "embedding")
+        .unionByName(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(scaled)
+      Ann.semDedup(embDup, tau = 0.8, nCentroids = 16)
+        .select(col("vec_id"), col("kept").cast("long").as("kept"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2005,5 +2040,44 @@ FROM s2 GROUP BY user_id, sid""",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
 CAST(count(*) AS BIGINT) AS cnt, min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1,2""",
+
+    // full recompute of the window-hash span dedup from the raw text: same
+    // tokenization (whitespace split, empties dropped), same 8-token windows
+    "q77_span_dedup" -> (DUP +
+      """, sp AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM docs2),
+w AS (SELECT doc_id, array_to_string(ts[p.i:p.i+7], ' ') AS win
+      FROM sp, LATERAL unnest(generate_series(1, len(ts) - 7)) AS p(i)
+      WHERE len(ts) >= 8),
+o AS (SELECT win, doc_id, count(*) AS occ FROM w GROUP BY 1, 2),
+dw AS (SELECT win FROM o GROUP BY win HAVING count(*) >= 2),
+pd AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_dup FROM o
+       WHERE win IN (SELECT win FROM dw) GROUP BY 1)
+SELECT sp.doc_id, CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_windows,
+  coalesce(pd.n_dup, 0) AS n_dup_windows
+FROM sp LEFT JOIN pd USING (doc_id)"""),
+
+    // exact recompute of the KMV sketch: same hash (md5 of utf-8 text), same
+    // k=32 minima, same estimator arithmetic — 31 * 2^52 and the 13-hex-digit
+    // prefix (< 2^52) are both exact in double, so est_distinct matches
+    // bit-for-bit
+    "q78_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+k AS (SELECT lang, h FROM r WHERE rn <= 32)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_minima, max(h) AS kth_hash,
+  CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+       ELSE (CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)) / CAST(concat('0x', substr(max(h), 1, 13)) AS BIGINT)
+  END AS est_distinct
+FROM k GROUP BY lang""",
+
+    // structural SemDeDup contract (q43 pattern): every planted clone —
+    // byte-identical (+1e6) and 2x-scaled (+2e6) — is semantically dominated
+    // by its lower-id base inside the same cosine-assigned cluster and must
+    // drop; every base vector survives because no natural pair reaches
+    // tau=0.8 (measured max 0.61; precondition asserted in DedupSpec)
+    "q79_semdedup" ->
+      """SELECT vec_id, CAST(1 AS BIGINT) AS kept FROM embeddings
+UNION ALL SELECT vec_id + 1000000, CAST(0 AS BIGINT) FROM embeddings WHERE vec_id % 20 = 0
+UNION ALL SELECT vec_id + 2000000, CAST(0 AS BIGINT) FROM embeddings WHERE vec_id % 20 = 10""",
   )
 }

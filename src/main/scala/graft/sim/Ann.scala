@@ -182,6 +182,40 @@ object Ann {
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
     ivfQuery(ivfBuild(vectors, nCentroids), probes, k, nProbe)
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication via a
+    * coarse quantizer. Embeddings are clustered with the IVF build's
+    * cosine-based assignment (direction-only, so a vector and any positive
+    * scaling of it land in the same cluster — power-of-two scalings assign
+    * bit-identically because IEEE rounding commutes with exact 2^k factors),
+    * then within each cluster a vector is DROPPED when an earlier (lower-id)
+    * cluster-mate sits within the cosine-`tau` ball. "Earlier-similar
+    * dominates" is the order-free distributed variant of the paper's
+    * keep-one-per-ball greedy scan: one within-cluster self-join + one
+    * id-only aggregation, no sequential pass over cluster members (the two
+    * variants agree whenever similarity is transitive inside the ball, which
+    * holds for the clone/near-clone clusters the operator exists to kill).
+    *
+    * Output: (vec_id, kept) for EVERY input vector.
+    *
+    * Scale shape: the self-join is per-cluster (never the corpus cross
+    * product) and costs Σ cluster² — the published SemDeDup cost — so
+    * `nCentroids` must grow ~√n with the corpus; pairs carry ids + the two
+    * vectors only inside one codegen'd cosine filter, and the dominated set
+    * is an id-only distinct.
+    */
+  def semDedup(vectors: DataFrame, tau: Double, nCentroids: Int = 16): DataFrame = {
+    val assigned = ivfBuild(vectors, nCentroids).assigned // nid, v, ivf_cell
+    val l = assigned.select(col("ivf_cell"), col("nid").as("vec_a"), col("v").as("e_a"))
+    val r = assigned.select(col("ivf_cell"), col("nid").as("vec_b"), col("v").as("e_b"))
+    val dominated = l.join(r, Seq("ivf_cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.functions.CosineSim(col("e_a"), col("e_b")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    vectors.select(col("vec_id"))
+      .join(dominated.withColumn("_dom", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), not(coalesce(col("_dom"), lit(false))).as("kept"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` sign-bucket
     * keys (each key = `bitsPerTable` hyperplane signs); exact cosine re-rank
     * inside the candidate set. `multiprobe` ≥ 1 additionally probes every

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed cardinality sketches for corpus statistics.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002) rather than HLL: the sketch
+  * is just the k smallest hash values of the distinct keys, so it is exactly
+  * reproducible by any engine that shares the hash function — an external
+  * oracle can recompute the whole sketch with plain SQL, which HLL's
+  * register-merge layout does not allow. Accuracy is the standard
+  * ~1/√(k−2) relative error.
+  */
+object Sketches {
+
+  /** 2^52 — the hash-prefix space of 13 hex digits: big enough to make ties
+    * astronomically unlikely, small enough that the prefix integer (< 2^52)
+    * and the estimator arithmetic stay EXACT in both long and double, so a
+    * SQL oracle reproduces the estimate bit-for-bit.
+    */
+  val PrefixSpace: Double = 4503599627370496.0
+
+  /** Per-group KMV distinct-count sketch of `key`.
+    *
+    * Output per group: `n_minima` (= min(k, true distinct)), `kth_hash`
+    * (max of the retained minima, hex md5 — the serialized sketch), and
+    * `est_distinct`: exact when the group has fewer than k distinct keys,
+    * else the KMV estimator (k−1)/frac(kth) with frac taken from the first
+    * 13 hex digits.
+    *
+    * Scale shape: one hash-distinct shuffle on (group, 128-bit hash) with
+    * map-side partials, then a rank-k window that Spark 4 rewrites to
+    * WindowGroupLimit — a per-partition top-k BEFORE the exchange, so the
+    * sort never sees more than k·partitions rows per group. The sketch rows
+    * themselves are k per group — mergeable downstream by re-taking the k
+    * minima of a union (the KMV merge rule).
+    */
+  def kmvDistinct(df: DataFrame, key: Column, group: Column, k: Int = 32): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashed = df.select(group.as("grp"),
+      md5(to_binary(key, lit("utf-8"))).as("_h")).distinct()
+    val w = Window.partitionBy("grp").orderBy("_h")
+    val minima = hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    minima.groupBy("grp")
+      .agg(count(lit(1)).as("n_minima"), max("_h").as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_minima") < k, col("n_minima").cast("double"))
+          .otherwise(lit((k - 1).toDouble * PrefixSpace) /
+            conv(substring(col("kth_hash"), 1, 13), 16, 10).cast("long").cast("double")))
+  }
+}

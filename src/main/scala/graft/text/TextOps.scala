@@ -450,6 +450,48 @@ object TextOps {
     * shuffle (seeded-PRNG permutations aren't portable across engines; a
     * keyed hash order is equally uniform and oracle-checkable).
     */
+  // ---- substring-level (window) dedup ----
+
+  /** Duplicated-span statistics: per document, how many of its sliding
+    * `w`-token windows occur verbatim in at least one OTHER document — the
+    * hash-window variant of exact-substring training-data dedup (Lee et al.
+    * 2022 dedupe repeated 50-token spans with a suffix array; a distributed
+    * engine gets the same signal from fixed-width window hashes, the shape
+    * CCNet/RefinedWeb use for paragraph/line dedup).
+    *
+    * Output: (doc_id, n_windows, n_dup_windows). A downstream filter on
+    * `n_dup_windows / n_windows` is the span-level dedup policy knob.
+    *
+    * Scale shape: one narrow explode (corpus tokens × 1 window row per
+    * position, each a 16-byte md5 key + doc_id — never the window text past
+    * the first aggregation), then hash aggregations and an id-only semi join,
+    * exactly the q55 boilerplate-strip topology. Nothing is ever pairwise:
+    * a window shared by a million docs costs one aggregation row, not 1e12
+    * pairs.
+    */
+  def spanDupStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => t =!= lit("")).as("_toks"))
+    // one row per window position; windows are md5-keyed immediately so the
+    // shuffles below carry (16-byte hash, doc_id) — not window strings
+    val winH = base.filter(size(col("_toks")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_toks")) - (w - 1)),
+          p => array_join(slice(col("_toks"), p, lit(w)), " "))).as("_win"))
+      .select(col("doc_id"), md5(to_binary(col("_win"), lit("utf-8"))).as("_wh"))
+    // per-(window, doc) occurrence counts → windows seen in ≥2 distinct docs
+    val occ = winH.groupBy("_wh", "doc_id").agg(count(lit(1)).as("_occ"))
+    val dupW = occ.groupBy("_wh").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select("_wh")
+    val perDoc = occ.join(dupW, Seq("_wh"), "left_semi")
+      .groupBy("doc_id").agg(sum("_occ").as("n_dup_windows"))
+    base.select(col("doc_id"),
+        greatest(size(col("_toks")) - (w - 1), lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   def groupedSizeSelect(docs: DataFrame, sizeCol: String, groupExpr: Column,
                         strategy: String, limit: Long): DataFrame = {
     val groups = docs.withColumn("_g", groupExpr)

@@ -80,6 +80,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), "expected the hinted hash semi join")
   }
 
+  test("span-dedup aggregates hash-based; KMV rank-k becomes a WindowGroupLimit") {
+    assume(hasData)
+    // q77's shuffles carry (16-byte md5, doc_id) through hash aggregations —
+    // a SortAggregate would sort the corpus-scale window set
+    val p77 = planOf("q77_span_dedup")
+    assert(!p77.contains("SortAggregate"), s"q77 fell back to SortAggregate:\n$p77")
+    // q78's row_number<=k filter must be pushed to a per-partition top-k
+    // (WindowGroupLimit) so no executor ever sorts a full group
+    val p78 = planOf("q78_kmv_distinct")
+    assert(p78.contains("WindowGroupLimit"), s"q78 rank filter not pushed down:\n$p78")
+  }
+
   test("embedding identity grouping is hash-based on the vector key (round-5 fix)") {
     assume(hasData)
     // the identity half of cosineNearDupPairs groups on the raw

@@ -166,4 +166,54 @@ class DedupSpec extends AnyFunSuite {
     assert(small.map(sizes).max <= (sizes.keySet -- small).map(sizes).min)
     assert(large.map(sizes).min >= (sizes.keySet -- large).map(sizes).max)
   }
+
+  test("semDedup: identical and positively-scaled clones drop, distinct bases survive") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] = {
+      val r = new java.util.Random(seed * 7919 + 13)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val bases = (0L until 60L).map(i => (i, vec(i.toInt)))
+    val exact = (0L until 60L by 10L).map(i => (i + 1000L, vec(i.toInt)))
+    val scaled = (5L until 60L by 10L).map(i => (i + 2000L, vec(i.toInt).map(_ * 4.0f)))
+    val emb = (bases ++ exact ++ scaled).toDF("vec_id", "embedding")
+    val kept = graft.sim.Ann.semDedup(emb, tau = 0.95, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept.size === 72)
+    for (i <- 0L until 60L) assert(kept(i), s"base $i must survive")
+    for (i <- 0L until 60L by 10L) assert(!kept(i + 1000L), s"exact clone of $i must drop")
+    for (i <- 5L until 60L by 10L) assert(!kept(i + 2000L), s"scaled clone of $i must drop")
+  }
+
+  test("semDedup: power-of-two scaling assigns to the same cluster bit-for-bit") {
+    // IEEE rounding commutes with exact 2^k factors, so cosine(2^k * v, c) ==
+    // cosine(v, c) exactly — the doc claim semDedup's clone-dropping rests on
+    val r = new java.util.Random(42)
+    for (_ <- 0 until 200) {
+      val v = Array.fill(32)(r.nextFloat() * 2 - 1)
+      val c = Array.fill(32)(r.nextFloat() * 2 - 1).toSeq.map(_.toFloat)
+      val s = math.pow(2, r.nextInt(7) - 3).toFloat // 2^-3 .. 2^3
+      val a = graft.sim.Ann.cosine(v.toSeq, c)
+      val b = graft.sim.Ann.cosine(v.map(_ * s).toSeq, c)
+      assert(a === b, s"cosine not invariant under *$s")
+    }
+  }
+
+  test("q79 oracle precondition: natural pairwise cosine stays far below tau=0.8 at every sf") {
+    // The structural SemDeDup oracle ('all bases kept') is exact only while
+    // no natural base pair reaches tau. Planted clones sit at ~1.0; assert
+    // the margin on the real tables (brute force at the two gate scales).
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(s"$d/embeddings.parquet").exists())
+    assert(dirs.nonEmpty)
+    for (d <- dirs) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      val emb2 = emb.select(col("vec_a").as("vec_b"), col("e_a").as("e_b"))
+      val maxCos = emb.join(emb2, col("vec_a") < col("vec_b"))
+        .select(max(graft.functions.CosineSim(col("e_a"), col("e_b"))).as("m"))
+        .collect().head.getDouble(0)
+      assert(maxCos < 0.7, s"$d: natural max cosine $maxCos erodes the tau=0.8 margin")
+    }
+  }
 }

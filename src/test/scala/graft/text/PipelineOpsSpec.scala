@@ -101,4 +101,66 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_shared") === 3L)
     assert(r.getAs[Long]("n_eval_docs") === 1L)
   }
+
+  test("spanDupStats: copies fully duplicated, short docs windowless, unique docs clean") {
+    val long = (1 to 20).map(i => s"tok$i").mkString(" ")           // 20 tokens
+    val other = (100 to 119).map(i => s"word$i").mkString(" ")      // disjoint 20 tokens
+    val docs = Seq(
+      (1L, long),                      // base
+      (2L, long),                      // exact copy: every window duplicated
+      (3L, other),                     // unique: zero duplicated windows
+      (4L, "only five little tokens here"),              // < 8 tokens: no windows
+      (5L, "prefix " + long)           // shares all of long's windows, shifted
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDupStats(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))).toMap
+    assert(got(1L) === ((13L, 13L)))   // 20-8+1 windows, all shared with doc 2
+    assert(got(2L) === ((13L, 13L)))
+    assert(got(3L) === ((13L, 0L)))
+    assert(got(4L) === ((0L, 0L)))
+    // doc 5: 14 windows; the first starts at 'prefix' and exists nowhere else
+    assert(got(5L) === ((14L, 13L)))
+  }
+
+  test("spanDupStats: within-doc repetition alone is not cross-doc duplication") {
+    val eight = "a b c d e f g h"
+    val docs = Seq((1L, s"$eight $eight"), (2L, "z y x w v u t s")).toDF("doc_id", "text")
+    val got = TextOps.spanDupStats(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_windows")).toMap
+    // doc 1 repeats its own window twice but no OTHER doc shares it
+    assert(got(1L) === 0L && got(2L) === 0L)
+  }
+
+  test("kmvDistinct: exact branch below k, estimator branch deterministic and in range") {
+    // exact branch: 10 distinct values < k=32 → est == exact distinct
+    val small = (0 until 40).map(i => (s"v${i % 10}", "g1")).toDF("key", "grp0")
+    val gotS = Sketches.kmvDistinct(small, col("key"), col("grp0"), k = 32).collect().head
+    assert(gotS.getAs[Long]("n_minima") === 10L)
+    assert(gotS.getAs[Double]("est_distinct") === 10.0)
+    // estimator branch: 5000 distinct values, k=64 → relative error well
+    // inside 5σ of the KMV bound 1/sqrt(k-2) ≈ 0.127
+    val big = (0 until 5000).map(i => (s"item-$i", "g2")).toDF("key", "grp0")
+    val est1 = Sketches.kmvDistinct(big, col("key"), col("grp0"), k = 64).collect().head
+    val est2 = Sketches.kmvDistinct(big.repartition(7), col("key"), col("grp0"), k = 64)
+      .collect().head
+    assert(est1.getAs[Double]("est_distinct") === est2.getAs[Double]("est_distinct"),
+      "sketch must be partitioning-independent")
+    assert(est1.getAs[String]("kth_hash") === est2.getAs[String]("kth_hash"))
+    val est = est1.getAs[Double]("est_distinct")
+    assert(est > 5000 * 0.5 && est < 5000 * 1.7, s"estimate $est implausible for 5000")
+  }
+
+  test("kmvDistinct: the k minima are exactly the k smallest distinct-key hashes (merge rule)") {
+    val df = (0 until 300).map(i => (s"k$i", if (i % 2 == 0) "a" else "b")).toDF("key", "grp0")
+    val got = Sketches.kmvDistinct(df, col("key"), col("grp0"), k = 16).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("kth_hash")).toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    for ((g, par) <- Seq("a" -> 0, "b" -> 1)) {
+      val hs = (0 until 300).filter(_ % 2 == par).map(i => md5hex(s"k$i")).sorted
+      assert(got(g) === hs(15), s"group $g kth hash mismatch")
+    }
+  }
 }
