@@ -37,17 +37,49 @@ object Sketches {
     * themselves are k per group — mergeable downstream by re-taking the k
     * minima of a union (the KMV merge rule).
     */
-  def kmvDistinct(df: DataFrame, key: Column, group: Column, k: Int = 32): DataFrame = {
+  def kmvDistinct(df: DataFrame, key: Column, group: Column, k: Int = 32): DataFrame =
+    kmvFinish(kmvMinima(df, key, group, k), k)
+
+  /** The serialized sketch itself: one row per retained minimum,
+    * `(grp, _h)` — the k smallest md5 values of the group's distinct keys.
+    * This is the shard-local artifact a 100 TB pipeline persists: sketches
+    * of disjoint shards MERGE by unioning their minima rows and re-taking
+    * the k smallest (`kmvMinima` over the union of sketches IS that merge,
+    * since md5-of-key is idempotent input to the rank), and `kmvFinish`
+    * turns any such union back into estimates. Exactness of the merge is
+    * the KMV theorem: the k smallest over a union of per-shard k-smallest
+    * sets equals the k smallest over the union of the raw sets.
+    */
+  def kmvMinima(df: DataFrame, key: Column, group: Column, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val hashed = df.select(group.as("grp"),
       md5(to_binary(key, lit("utf-8"))).as("_h")).distinct()
     val w = Window.partitionBy("grp").orderBy("_h")
-    val minima = hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("grp", "_h")
+  }
+
+  /** Merge previously-computed sketch rows (`(grp, _h)` from `kmvMinima`,
+    * possibly from many shards, possibly with duplicate hashes) into the
+    * canonical k-minima sketch of the union. Pure sketch-space: never
+    * touches raw keys, so merging S shards costs O(S·k) rows per group.
+    */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val w = Window.partitionBy("grp").orderBy("_h")
+    sketches.select("grp", "_h").distinct()
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("grp", "_h")
+  }
+
+  /** Estimator over sketch rows: exact below k minima, else (k−1)/frac(kth)
+    * with frac read from the first 13 hex digits (exact in double).
+    */
+  def kmvFinish(minima: DataFrame, k: Int): DataFrame =
     minima.groupBy("grp")
       .agg(count(lit(1)).as("n_minima"), max("_h").as("kth_hash"))
       .withColumn("est_distinct",
         when(col("n_minima") < k, col("n_minima").cast("double"))
           .otherwise(lit((k - 1).toDouble * PrefixSpace) /
             conv(substring(col("kth_hash"), 1, 13), 16, 10).cast("long").cast("double")))
-  }
 }

@@ -150,6 +150,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est > 5000 * 0.5 && est < 5000 * 1.7, s"estimate $est implausible for 5000")
   }
 
+  test("KMV merge theorem: merging per-shard sketches equals sketching the union") {
+    // 3 disjoint shards with overlapping key sets; sketch each shard, merge
+    // the sketch ROWS (never the raw keys), and the finished estimates must
+    // be identical to sketching the union directly
+    val k = 16
+    val shards = Seq(
+      (0 until 400).map(i => (s"key-${i * 3}", "g")),        // multiples of 3
+      (0 until 400).map(i => (s"key-${i * 2}", "g")),        // multiples of 2 (overlap)
+      (0 until 150).map(i => (s"key-${i + 5000}", "g"))      // disjoint tail
+    ).map(_.toDF("key", "grp0"))
+    val perShard = shards.map(s => Sketches.kmvMinima(s, col("key"), col("grp0"), k))
+    val merged = Sketches.kmvFinish(
+      Sketches.kmvMerge(perShard.reduce(_ unionByName _), k), k).collect().head
+    val direct = Sketches.kmvDistinct(
+      shards.reduce(_ unionByName _), col("key"), col("grp0"), k).collect().head
+    assert(merged.getAs[String]("kth_hash") === direct.getAs[String]("kth_hash"))
+    assert(merged.getAs[Long]("n_minima") === direct.getAs[Long]("n_minima"))
+    assert(merged.getAs[Double]("est_distinct") === direct.getAs[Double]("est_distinct"))
+  }
+
   test("kmvDistinct: the k minima are exactly the k smallest distinct-key hashes (merge rule)") {
     val df = (0 until 300).map(i => (s"k$i", if (i % 2 == 0) "a" else "b")).toDF("key", "grp0")
     val got = Sketches.kmvDistinct(df, col("key"), col("grp0"), k = 16).collect()
