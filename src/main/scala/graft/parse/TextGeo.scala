@@ -113,7 +113,11 @@ object TextGeo {
     val pts = ArrayBuffer.empty[Double]
     val placeToken = "[A-Za-z]+".r
     for (m <- placeToken.findAllMatchIn(text);
-         surfaces <- GazetteerTable.byFirstToken.get(m.matched)) {
+         surfaces <- GazetteerTable.byFirstToken.get(m.matched)
+         // the regex class is ASCII, so a run can start right after a
+         // non-ASCII LETTER ("caféParis") — the old sweep's Unicode
+         // word-boundary check must be re-applied on the preceding char
+         if m.start == 0 || !text.charAt(m.start - 1).isLetter) {
       val start = m.start
       surfaces.find { name =>
         text.regionMatches(start, name, 0, name.length) &&

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path}
 import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,9 +36,41 @@ object Replay {
 
   private val SentinelOffsetMs = 100L * 24 * 3600 * 1000 // 100 days
 
-  /** Stage `$dir/events.parquet` for ordered replay; see object doc. */
-  def stageEventReplay(s: SparkSession, dir: String, slices: Int = 8): Staged = {
+  // staged replicas are full copies of the events table — cache them per
+  // (source dir, slices) so q75+q76 in one Verify/Bench run stage ONCE, and
+  // delete everything on JVM exit so repeated runs can't fill the host disk
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Staged]()
+  private val cleanupRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[Path]())
+  sys.addShutdownHook {
+    cleanupRoots.forEach { root =>
+      try deleteRecursively(root) catch { case _: Throwable => () }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = listDir(p)
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p); ()
+  }
+
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.toArray.toSeq.map(_.asInstanceOf[Path]) finally st.close()
+  }
+
+  /** Stage `$dir/events.parquet` for ordered replay (cached per dir within
+    * the JVM; removed on exit); see object doc.
+    */
+  def stageEventReplay(s: SparkSession, dir: String, slices: Int = 8): Staged =
+    stagedCache.computeIfAbsent((dir, slices), { case (d, sl) => doStage(s, d, sl) })
+
+  private def doStage(s: SparkSession, dir: String, slices: Int): Staged = {
     val root = Files.createTempDirectory("graft-replay")
+    cleanupRoots.add(root)
     val dataDir = root.resolve("data")
     val ev = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
@@ -46,7 +78,9 @@ object Replay {
     ev.repartitionByRange(slices, col("ts"))
       .write.mode("overwrite").parquet(dataDir.toString)
 
-    val maxTsMs = ev.agg(max(col("ts").cast("long"))).head().getLong(0) * 1000L
+    val maxRow = ev.agg(max(col("ts").cast("long"))).head()
+    require(!maxRow.isNullAt(0), s"$dir/events.parquet is empty — nothing to replay")
+    val maxTsMs = maxRow.getLong(0) * 1000L
     for (i <- 1 to 2) {
       val tmp = root.resolve(s"sent$i")
       import s.implicits._
@@ -54,16 +88,15 @@ object Replay {
         -1L, "sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = listDir(tmp).find(_.getFileName.toString.endsWith(".parquet")).get
       Files.move(part, dataDir.resolve(s"zz-sentinel-$i.parquet"))
     }
 
     // strictly increasing mtimes in path order: range files first (already
     // event-time-ordered by name from repartitionByRange), then sentinels
     val base = System.currentTimeMillis()
-    val files = Files.list(dataDir).filter(_.getFileName.toString.endsWith(".parquet"))
-      .sorted().toArray.map(_.asInstanceOf[Path])
+    val files = listDir(dataDir)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sorted
     files.zipWithIndex.foreach { case (p, i) =>
       Files.setLastModifiedTime(p, FileTime.fromMillis(base + i * 2000L))
     }
@@ -71,13 +104,15 @@ object Replay {
   }
 
   /** Run an append-mode streaming DataFrame to completion into a parquet file
-    * sink under `root`, and read the result back as a batch DataFrame.
+    * sink in a fresh subdirectory of `root` (so several queries can share one
+    * staged replay), and read the result back as a batch DataFrame.
     */
   def runToParquet(s: SparkSession, stream: DataFrame, root: Path): DataFrame = {
-    val sink = root.resolve("sink").toString
+    val runDir = Files.createTempDirectory(root, "run")
+    val sink = runDir.resolve("sink").toString
     val q = stream.writeStream.outputMode("append").format("parquet")
       .option("path", sink)
-      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .option("checkpointLocation", runDir.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
     s.read.parquet(sink)

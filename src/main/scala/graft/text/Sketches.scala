@@ -43,16 +43,17 @@ object Sketches {
   /** The serialized sketch itself: one row per retained minimum,
     * `(grp, _h)` — the k smallest md5 values of the group's distinct keys.
     * This is the shard-local artifact a 100 TB pipeline persists: sketches
-    * of disjoint shards MERGE by unioning their minima rows and re-taking
-    * the k smallest (`kmvMinima` over the union of sketches IS that merge,
-    * since md5-of-key is idempotent input to the rank), and `kmvFinish`
-    * turns any such union back into estimates. Exactness of the merge is
-    * the KMV theorem: the k smallest over a union of per-shard k-smallest
-    * sets equals the k smallest over the union of the raw sets.
+    * of disjoint shards MERGE with `kmvMerge` (union the minima ROWS — which
+    * are already hashes, never re-hash them — and re-take the k smallest),
+    * and `kmvFinish` turns any such merge back into estimates. Exactness of
+    * the merge is the KMV theorem: the k smallest over a union of per-shard
+    * k-smallest sets equals the k smallest over the union of the raw sets.
+    * NULL keys are excluded (COUNT DISTINCT semantics; also keeps the rank
+    * identical to an ORDER BY in engines that sort NULLs last).
     */
   def kmvMinima(df: DataFrame, key: Column, group: Column, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashed = df.select(group.as("grp"),
+    val hashed = df.filter(key.isNotNull).select(group.as("grp"),
       md5(to_binary(key, lit("utf-8"))).as("_h")).distinct()
     val w = Window.partitionBy("grp").orderBy("_h")
     hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)

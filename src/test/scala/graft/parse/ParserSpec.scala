@@ -180,6 +180,11 @@ class ParserSpec extends AnyFunSuite {
   test("text: word-boundary matching (no substring hits)") {
     val r = TextGeo.extract("The Parisian cafe")
     assert(r.places.isEmpty) // 'Paris' inside 'Parisian' must not match
+    // a non-ASCII LETTER before the name is also a word-interior position:
+    // the ASCII token regex starts a fresh run at 'P', so the Unicode
+    // boundary check on the preceding char must reject it (round-5 fix)
+    assert(TextGeo.extract("caféParis rocks").places.isEmpty)
+    assert(TextGeo.extract("café Paris rocks").places.map(_.value) === Seq("Paris"))
   }
 
   // ---- RasterHeader (reference handle_raster.py) ----

@@ -150,6 +150,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est > 5000 * 0.5 && est < 5000 * 1.7, s"estimate $est implausible for 5000")
   }
 
+  test("kmvDistinct: NULL keys are excluded (COUNT DISTINCT semantics)") {
+    // with k distinct non-null keys plus a NULL, the NULL must not occupy a
+    // minima slot (Spark sorts NULLS FIRST; an engine-side NULL row would
+    // shift kth_hash and diverge from a NULLS-LAST oracle)
+    val rows = (0 until 40).map(i => (Option(s"v$i"), "g")) :+ ((None: Option[String], "g"))
+    val df = rows.toDF("key", "grp0")
+    val got = Sketches.kmvDistinct(df, col("key"), col("grp0"), k = 32).collect().head
+    val noNull = Sketches.kmvDistinct(df.filter(col("key").isNotNull),
+      col("key"), col("grp0"), k = 32).collect().head
+    assert(got.getAs[String]("kth_hash") === noNull.getAs[String]("kth_hash"))
+    assert(got.getAs[Double]("est_distinct") === noNull.getAs[Double]("est_distinct"))
+  }
+
   test("KMV merge theorem: merging per-shard sketches equals sketching the union") {
     // 3 disjoint shards with overlapping key sets; sketch each shard, merge
     // the sketch ROWS (never the raw keys), and the finished estimates must

@@ -43,6 +43,10 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.tmp/sf1"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# DOC/VEC strides * K must stay below the +1M planted-clone id offsets of
+# SparkEntry.docsDup / q43 / q79, and the embedding rotation needs K distinct
+# rotations within EMB_DIM=64 — fail loudly instead of silently overlapping
+assert 1 <= K <= 10, f"K={K}: replica id-spaces collide with planted-clone offsets past K=10"
 
 DOC_STRIDE = 100_000     # < 1_000_000 planted-clone offset for K<=10; %20==%25==0
 VEC_STRIDE = 100_000
