@@ -64,6 +64,10 @@ object TextGeo {
     monthNames.zipWithIndex.map { case (m, i) => m.toLowerCase -> (i + 1) }.toMap
   private val MonthAlt = monthNames.mkString("|")
 
+  // gazetteer token scan — object-level like every other pattern here, so
+  // the q01 hot path never recompiles it per document
+  private val placeToken = "[A-Za-z]+".r
+
   private val isoDate = "\\b(\\d{4})-(\\d{2})-(\\d{2})\\b".r
   private val betweenRange = "(?i)between\\s+(\\d{4})\\s+and\\s+(\\d{4})".r
   // "January to March 2024" — left month inherits the right side's year
@@ -111,7 +115,6 @@ object TextGeo {
     val places = ArrayBuffer.empty[Span]
     val points = ArrayBuffer.empty[(Double, Double)]
     val pts = ArrayBuffer.empty[Double]
-    val placeToken = "[A-Za-z]+".r
     for (m <- placeToken.findAllMatchIn(text);
          surfaces <- GazetteerTable.byFirstToken.get(m.matched)
          // the regex class is ASCII, so a run can start right after a

@@ -56,12 +56,14 @@ object EventWindows {
     // "chain events whose successive gaps are ≤ gap" definition exactly
     def merge(all: Seq[SessionState]): List[SessionState] = {
       val sorted = all.sortBy(s => (s.start, s.end))
-      val out = scala.collection.mutable.ListBuffer.empty[SessionState]
+      // ArrayBuffer: last-element read/replace is O(1), so a hot user whose
+      // batch chains into one session merges in O(m), not O(m²)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
       for (s <- sorted) {
         if (out.nonEmpty && s.start - out.last.end <= gapMs) {
-          val l = out.remove(out.length - 1)
-          out += SessionState(math.min(l.start, s.start), math.max(l.end, s.end),
-            l.n + s.n, l.total + s.total)
+          val l = out.last
+          out(out.length - 1) = SessionState(math.min(l.start, s.start),
+            math.max(l.end, s.end), l.n + s.n, l.total + s.total)
         } else out += s
       }
       out.toList
