@@ -1172,6 +1172,16 @@ object SparkEntry {
       Ann.semDedup(embDup, tau = 0.8, nCentroids = 16)
         .select(col("vec_id"), col("kept").cast("long").as("kept"))
     }),
+
+    // deterministic sampled quantiles of per-language doc byte-length: the
+    // md5-threshold sample (q56 idiom) is drawn identically by the oracle, so
+    // the percentile_disc values match exactly — the portable replacement for
+    // percentile_approx when corpus distribution reports must be auditable
+    "q80_quantile_sketch" -> ((s, dir) =>
+      text.Sketches.sampledQuantiles(docs(s, dir),
+          octet_length(col("text")), col("lang"), col("doc_id"),
+          salt = "quant-7", thresholdHex = "55", probs = Seq(0.25, 0.5, 0.75, 0.95))
+        .withColumnRenamed("grp", "lang")),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2079,5 +2089,20 @@ FROM k GROUP BY lang""",
       """SELECT vec_id, CAST(1 AS BIGINT) AS kept FROM embeddings
 UNION ALL SELECT vec_id + 1000000, CAST(0 AS BIGINT) FROM embeddings WHERE vec_id % 20 = 0
 UNION ALL SELECT vec_id + 2000000, CAST(0 AS BIGINT) FROM embeddings WHERE vec_id % 20 = 10""",
+
+    // identical md5-threshold sample, identical rank arithmetic: ceil(p*n)
+    // is one IEEE multiply + ceil in both engines, so even non-dyadic probs
+    // (0.95) pick the same rank; ties in v break on the hash both sides
+    "q80_quantile_sketch" ->
+      """WITH s AS (SELECT lang, CAST(octet_length(encode(text)) AS BIGINT) AS v,
+  md5('quant-7:' || doc_id) AS hk FROM documents
+  WHERE substr(md5('quant-7:' || doc_id), 1, 2) < '55'),
+r AS (SELECT lang, v, hk,
+  row_number() OVER (PARTITION BY lang ORDER BY v, hk) AS rn,
+  count(*) OVER (PARTITION BY lang) AS n FROM s)
+SELECT lang, p, v AS q_value, CAST(n AS BIGINT) AS n_sample
+FROM r, (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+  (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) AS pr(p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)""",
   )
 }

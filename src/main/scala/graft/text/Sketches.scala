@@ -73,6 +73,46 @@ object Sketches {
       .select("grp", "_h")
   }
 
+  /** Deterministic sampled quantiles: the portable way to report value
+    * distributions (doc lengths, quality scores) over an arbitrarily large
+    * corpus. Rows enter the sample by a lexicographic md5-prefix threshold on
+    * a salted row id — the same seeded-sample idiom as stratified sampling
+    * (q56): any engine sharing the hash draws the IDENTICAL sample, so the
+    * quantiles are exactly reproducible, unlike percentile_approx sketches
+    * whose merge order is engine-internal. Quantiles are percentile_disc
+    * (the sample element at rank ceil(p·n), ties broken by the hash), so no
+    * interpolation arithmetic enters the contract.
+    *
+    * Output: (grp, p, q_value, n_sample) — one row per group × prob, absent
+    * for groups with an empty sample.
+    *
+    * Scale shape: the threshold prunes BEFORE the shuffle (a narrow filter on
+    * a codegen'd md5), so the per-group window sort sees only the sample —
+    * `thresholdHex` is the knob that bounds the sorted set at any corpus
+    * size. Accuracy is the standard sampling error ~1/√(p(1−p)·n_sample).
+    */
+  def sampledQuantiles(df: DataFrame, value: Column, group: Column, id: Column,
+                       salt: String, thresholdHex: String,
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must lie in (0, 1], got $probs")
+    require(thresholdHex.nonEmpty && thresholdHex.forall("0123456789abcdef".contains(_)),
+      s"thresholdHex must be lowercase hex, got '$thresholdHex'")
+    val sampled = df
+      .select(group.as("grp"), value.cast("long").as("_v"),
+        md5(concat(lit(s"$salt:"), id)).as("_hk"))
+      .filter(col("_v").isNotNull &&
+        substring(col("_hk"), 1, thresholdHex.length) < lit(thresholdHex))
+    val byGrp = Window.partitionBy("grp")
+    val ranked = sampled
+      .withColumn("_rn", row_number().over(byGrp.orderBy(col("_v"), col("_hk"))))
+      .withColumn("_n", count(lit(1)).over(byGrp))
+    ranked.withColumn("p", explode(array(probs.map(lit): _*)))
+      .filter(col("_rn") === ceil(col("p") * col("_n")).cast("long"))
+      .select(col("grp"), col("p"), col("_v").as("q_value"),
+        col("_n").cast("long").as("n_sample"))
+  }
+
   /** Estimator over sketch rows: exact below k minima, else (k−1)/frac(kth)
     * with frac read from the first 13 hex digits (exact in double).
     */

@@ -150,6 +150,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(est > 5000 * 0.5 && est < 5000 * 1.7, s"estimate $est implausible for 5000")
   }
 
+  test("sampledQuantiles: percentile_disc semantics, threshold gates the sample, partition-independent") {
+    // threshold "ffff" admits every row here (max hash prefix efe8 — checked
+    // offline) → quantiles of the full set
+    val vals = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, "g") }
+      .toDF("id", "v", "grp0")
+    val got = Sketches.sampledQuantiles(df, col("v"), col("grp0"), col("id"),
+        salt = "t", thresholdHex = "ffff", probs = Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    // rank ceil(0.5*10)=5 → 50; ceil(1.0*10)=10 → 100
+    assert(got(0.5) === 50L && got(1.0) === 100L)
+    // partitioning must not change the sample or the ranks
+    val rep = Sketches.sampledQuantiles(df.repartition(7), col("v"), col("grp0"),
+        col("id"), salt = "t", thresholdHex = "ffff", probs = Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(rep === got)
+    // a narrow threshold draws a strict, deterministic subsample
+    val narrow = Sketches.sampledQuantiles(df, col("v"), col("grp0"), col("id"),
+        salt = "t", thresholdHex = "40", probs = Seq(1.0)).collect()
+    assert(narrow.forall(_.getLong(3) < 10L))
+  }
+
+  test("sampledQuantiles matches a brute-force reference on seeded random data") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val r = new java.util.Random(99)
+    val rows = (0 until 500).map(i => (i.toLong, (r.nextInt(1000) + 1).toLong,
+      if (i % 3 == 0) "a" else "b"))
+    val df = rows.toDF("id", "v", "grp0")
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    val got = Sketches.sampledQuantiles(df, col("v"), col("grp0"), col("id"),
+        salt = "ref", thresholdHex = "80", probs = probs)
+      .collect().map(r0 => (r0.getString(0), r0.getDouble(1)) -> (r0.getLong(2), r0.getLong(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val sample = rows.filter(t => t._3 == g)
+        .map(t => (t._2, md5hex(s"ref:${t._1}")))
+        .filter(_._2.substring(0, 2) < "80").sorted
+      for (p <- probs) {
+        val rank = math.ceil(p * sample.size).toLong
+        assert(got((g, p)) === ((sample(rank.toInt - 1)._1, sample.size.toLong)),
+          s"group $g p=$p")
+      }
+    }
+  }
+
   test("kmvDistinct: NULL keys are excluded (COUNT DISTINCT semantics)") {
     // with k distinct non-null keys plus a NULL, the NULL must not occupy a
     // minima slot (Spark sorts NULLS FIRST; an engine-side NULL row would
