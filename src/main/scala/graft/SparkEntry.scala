@@ -528,14 +528,13 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, "B").when(col("doc_id") % 3 === 1, "KB").otherwise("MB")))
           .as("n_bytes"))),
 
-    // F5 'smallest' selection strategy (cumulative-size prefix over size order)
-    "q38_select_smallest" -> ((s, dir) => {
-      val w = Window.orderBy(col("n_chars").asc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).withColumn("cum_size", sum("n_chars").over(w))
+    // F5 'smallest' selection strategy (cumulative-size prefix over size
+    // order) — distributed prefix sum, never a single-partition window
+    "q38_select_smallest" -> ((s, dir) =>
+      operators.PrefixSum.withRunningSum(docs(s, dir),
+          Seq(col("n_chars").asc, col("doc_id").asc), col("n_chars"), "cum_size")
         .filter(col("cum_size") <= 30000)
-        .select(col("doc_id"), col("n_chars"), col("cum_size"))
-    }),
+        .select(col("doc_id"), col("n_chars"), col("cum_size"))),
 
     // multimodal: binary media columns → batched REAL decode (JDK PNG codec,
     // WAV PCM16 parse, frame-container demux) → pooled feature statistics.

@@ -434,11 +434,10 @@ object TextOps {
     * knapsack prefix in a deterministic order,
     * reference: geoextent/lib/helpfunctions.py:2012-2150).
     */
-  def sizeLimitedSelect(docs: DataFrame, sizeCol: String, orderCol: String, limit: Long): DataFrame = {
-    val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum_size", sum(col(sizeCol)).over(w))
+  def sizeLimitedSelect(docs: DataFrame, sizeCol: String, orderCol: String, limit: Long): DataFrame =
+    graft.operators.PrefixSum
+      .withRunningSum(docs, Seq(col(orderCol)), col(sizeCol), "cum_size")
       .filter(col("cum_size") <= limit)
-  }
 
   /** F5 size-limited selection over ATOMIC GROUPS with the reference's four
     * strategies (reference: helpfunctions.py:2012-2150; group atomicity — a
@@ -496,13 +495,14 @@ object TextOps {
                         strategy: String, limit: Long): DataFrame = {
     val groups = docs.withColumn("_g", groupExpr)
       .groupBy("_g").agg(sum(col(sizeCol)).as("_gsize"))
-    val w = (strategy match {
-      case "random" => Window.orderBy(md5(col("_g").cast("string")), col("_g"))
-      case "smallest" => Window.orderBy(col("_gsize").asc, col("_g"))
-      case "largest" => Window.orderBy(col("_gsize").desc, col("_g"))
-      case _ => Window.orderBy(col("_g"))
-    }).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val selected = groups.withColumn("_cum", sum("_gsize").over(w))
+    val order = strategy match {
+      case "random" => Seq(md5(col("_g").cast("string")), col("_g"))
+      case "smallest" => Seq(col("_gsize").asc, col("_g"))
+      case "largest" => Seq(col("_gsize").desc, col("_g"))
+      case _ => Seq(col("_g"))
+    }
+    val selected = graft.operators.PrefixSum
+      .withRunningSum(groups, order, col("_gsize"), "_cum")
       .filter(col("_cum") <= limit)
     docs.withColumn("_g", groupExpr)
       .join(selected.select(col("_g"), col("_cum")), Seq("_g"), "inner")

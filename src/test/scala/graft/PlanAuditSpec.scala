@@ -80,6 +80,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), "expected the hinted hash semi join")
   }
 
+  test("no query plans an unpartitioned (single-partition) window") {
+    assume(hasData)
+    // Window.orderBy with no partition spec funnels the whole input through
+    // ONE task — the F5 cumulative-size selections did this until round 5's
+    // distributed prefix sum (operators.PrefixSum). Assert it never returns.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !name.endsWith("_stream")) { // streaming queries execute on build
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned window:\n${bad.headOption.getOrElse("")}")
+    }
+  }
+
   test("span-dedup aggregates hash-based; KMV rank-k becomes a WindowGroupLimit") {
     assume(hasData)
     // q77's shuffles carry (16-byte md5, doc_id) through hash aggregations —
