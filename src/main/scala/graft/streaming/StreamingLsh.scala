@@ -14,7 +14,7 @@ import graft.text.TextOps
   * the SAME expressions as the batch operator (identical `minhashUdf` and
   * murmur3 band hashes, so a replayed corpus lands in identical buckets);
   * the bucket self-join becomes per-bucket state in ONE
-  * `flatMapGroupsWithState` keyed by (band, bandhash). Each arriving document
+  * `flatMapGroupsWithState` keyed by (band, band signature). Each arriving document
   * is paired against the bucket members already in state, so a near-dup pair
   * split across micro-batches is still emitted. State is bounded two ways:
   *   - event-time watermark: members older than the watermark are pruned on
@@ -49,7 +49,7 @@ import graft.text.TextOps
   */
 object StreamingLsh {
 
-  final case class Banded(band: Int, bandhash: Int, doc_id: Long,
+  final case class Banded(band: Int, bandsig: String, doc_id: Long,
                           ts: java.sql.Timestamp, sig: Array[Long])
   /** `ts` is the pair's event time — the LATER of the two members' event
     * times (the moment the pair became knowable), which is what a downstream
@@ -77,8 +77,8 @@ object StreamingLsh {
       .select(col("doc_id"), col("ts"), TextOps.minhashUdf(col("text"), lit(numHashes)).as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(array((0 until bands).map(b =>
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
-      .select(col("band"), col("bandhash"), col("doc_id"), col("ts"), col("sig"))
+          TextOps.bandSig(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "bandsig")))
+      .select(col("band"), col("bandsig"), col("doc_id"), col("ts"), col("sig"))
       .as[Banded]
 
     def estJaccard(a: Array[Long], b: Array[Long]): Double = {
@@ -87,9 +87,9 @@ object StreamingLsh {
       eq.toDouble / numHashes
     }
 
-    banded.groupByKey(r => (r.band, r.bandhash)).flatMapGroupsWithState(
+    banded.groupByKey(r => (r.band, r.bandsig)).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-      (_: (Int, Int), it: Iterator[Banded], state: GroupState[BucketState]) => {
+      (_: (Int, String), it: Iterator[Banded], state: GroupState[BucketState]) => {
         val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
         if (state.hasTimedOut) {
           val st = state.get

@@ -118,12 +118,28 @@ object TextOps {
   }
 
   /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
-    * band-hash bucket join (self-join within buckets only, occupancy-capped),
+    * exact-band bucket join (self-join within buckets only, occupancy-capped),
     * pair dedup. Output (doc_a < doc_b, est_jaccard from full signatures).
     * Signatures are joined back AFTER pair dedup, so the band-bucket shuffle
-    * carries only (band, bandhash, doc_id) — half the width of shipping both
-    * 64-hash signatures through every bucket.
+    * carries only (band, band signature, doc_id) — a fraction of shipping
+    * both 64-hash signatures through every bucket.
+    *
+    * The bucket key is the band's minhash values themselves (rendered as a
+    * short string), NOT a fixed-width proxy hash: two documents share a
+    * bucket IFF their `rowsPerBand` minhash rows truly agree. A 32-bit
+    * `hash(slice)` proxy admitted 42 Jaccard≈0 pairs at the 500k-doc sf1
+    * replay through band-hash collisions — an expected-count ≈
+    * bands·C(n,2)·2⁻³² effect that grows QUADRATICALLY with corpus size
+    * (a scale bug, not noise); the exact key makes spurious-candidate
+    * probability zero by construction at any scale.
     */
+  /** The exact band signature as a joinable key: the band's minhash values,
+    * comma-joined. Shared by the batch and streaming LSH faces so a replayed
+    * corpus lands in identical buckets in both.
+    */
+  def bandSig(sig: Column, from: Int, rowsPerBand: Int): Column =
+    array_join(transform(slice(sig, from, rowsPerBand), _.cast("string")), ",")
+
   def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                             bucketCap: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -137,11 +153,11 @@ object TextOps {
       .select(col("doc_id"), minhashUdf(col("text"), lit(numHashes)).as("sig")))
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bandhash")))
-    val kept = persistBounded(capBuckets(banded, Seq("band", "bandhash"), bucketCap))
-    val l = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_a"))
-    val r = kept.select(col("band"), col("bandhash"), col("doc_id").as("doc_b"))
-    val pairs = l.join(r, Seq("band", "bandhash"))
+        bandSig(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)).as(Seq("band", "bandsig")))
+    val kept = persistBounded(capBuckets(banded, Seq("band", "bandsig"), bucketCap))
+    val l = kept.select(col("band"), col("bandsig"), col("doc_id").as("doc_a"))
+    val r = kept.select(col("band"), col("bandsig"), col("doc_id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "bandsig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")

@@ -75,9 +75,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("LSH verification joins hash-build, never sort the corpus (round-4 fix)") {
     assume(hasData)
-    val p = planOf("q23_minhash_pairs")
-    assert(!p.contains("SortMergeJoin"), s"q23 sorts a join side:\n$p")
+    // the exact-Jaccard verification stage lives in q25 (q23 is the candidate
+    // stage since the round-5 exact-band redesign); its shingle semi join
+    // must stay hash-build
+    val p = planOf("q25_jaccard_verify")
+    assert(!p.contains("SortMergeJoin"), s"q25 sorts a join side:\n$p")
     assert(p.contains("ShuffledHashJoin"), "expected the hinted hash semi join")
+    assert(!planOf("q23_minhash_pairs").contains("SortMergeJoin"),
+      "q23 sorts a join side")
   }
 
   test("no query plans an unpartitioned (single-partition) window") {
