@@ -1469,8 +1469,9 @@ JOIN cnt cb ON cb.doc_id = p.doc_b"""),
       "SELECT doc_id, substr(md5(text), 1, 15) AS fp_hex FROM documents",
 
     // containment contract: every planted trailer-near pair must be emitted,
-    // no planted exact pair may be (pre-collapsed), and no emitted pair may
-    // fall below the 0.5 true-Jaccard floor (any violation adds a row the
+    // no planted exact pair may be (pre-collapsed), and every emitted pair
+    // must honor the structural band contract — recomputed signature
+    // agreement >= rowsPerBand (any violation adds a 'badpair' row the
     // oracle doesn't have)
     // exact-dup-collapse-aware expectation (see plantedPairs): one pair per
     // text group with planted members — (group canonical, min planted + off)
@@ -2095,7 +2096,7 @@ UNION ALL SELECT vec_id + 2000000, CAST(0 AS BIGINT) FROM embeddings WHERE vec_i
     "q80_quantile_sketch" ->
       """WITH s AS (SELECT lang, CAST(octet_length(encode(text)) AS BIGINT) AS v,
   md5('quant-7:' || doc_id) AS hk FROM documents
-  WHERE substr(md5('quant-7:' || doc_id), 1, 2) < '55'),
+  WHERE substr(md5('quant-7:' || doc_id), 1, 2) < '55' AND text IS NOT NULL),
 r AS (SELECT lang, v, hk,
   row_number() OVER (PARTITION BY lang ORDER BY v, hk) AS rn,
   count(*) OVER (PARTITION BY lang) AS n FROM s)

@@ -27,12 +27,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object PrefixSum {
 
-  /** Append `cumName` = running sum of `value` (cast to long) in the total
-    * order given by `order`. Internal columns are dropped on output.
+  /** Append `cumName` = running sum of `value` in the total order given by
+    * `order`. Internal columns are dropped on output.
+    *
+    * `value` must be an integral column (sizes/counts — the F5 domain): the
+    * running sum accumulates exactly in long; a fractional column would be
+    * silently truncated per row, so it is rejected instead.
+    *
+    * Lifecycle notes: CONSTRUCTION IS EAGER — the range partitioning is
+    * pinned with a localCheckpoint and the per-partition totals are
+    * collected before the result plan exists (inherent to a two-pass prefix
+    * sum: re-executing `repartitionByRange` resamples its bounds, so the
+    * offsets must be taken from the same materialization the final pass
+    * reads). The checkpoint cannot be FIFO-unpersisted like the LSH stage
+    * caches (truncated lineage ⇒ an evicted block fails late consumers
+    * instead of recomputing); it is released by Spark's ContextCleaner once
+    * the returned DataFrame becomes unreachable.
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
                      cumName: String): DataFrame = {
     val spark = df.sparkSession
+    val vType = df.select(value.as("_v")).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"PrefixSum sums integral size columns exactly; got $vType")
     val n = spark.sessionState.conf.numShufflePartitions
     val parted = df
       .repartitionByRange(n, order: _*)
@@ -40,7 +57,8 @@ object PrefixSum {
       .localCheckpoint() // pin partition bounds across the two passes
     val totals = parted.groupBy("_ps_pid")
       .agg(sum(value.cast("long")).as("_t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().filterNot(_.isNullAt(1)) // all-NULL partition contributes 0
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).scanLeft(0L) {
       case (acc, pid) => acc + totals.getOrElse(pid, 0L)
     }

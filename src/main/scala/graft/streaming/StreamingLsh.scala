@@ -12,7 +12,8 @@ import graft.text.TextOps
   *
   * Shape: signature + band explode run as ordinary narrow column work using
   * the SAME expressions as the batch operator (identical `minhashUdf` and
-  * murmur3 band hashes, so a replayed corpus lands in identical buckets);
+  * exact `TextOps.bandSig` band keys, so a replayed corpus lands in
+  * identical buckets);
   * the bucket self-join becomes per-bucket state in ONE
   * `flatMapGroupsWithState` keyed by (band, band signature). Each arriving document
   * is paired against the bucket members already in state, so a near-dup pair

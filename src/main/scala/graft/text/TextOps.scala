@@ -117,6 +117,13 @@ object TextOps {
     df
   }
 
+  /** The exact band signature as a joinable key: the band's minhash values,
+    * comma-joined. Shared by the batch and streaming LSH faces so a replayed
+    * corpus lands in identical buckets in both.
+    */
+  def bandSig(sig: Column, from: Int, rowsPerBand: Int): Column =
+    array_join(transform(slice(sig, from, rowsPerBand), _.cast("string")), ",")
+
   /** MinHash-LSH candidate pairs: signature → `bands` bands of `rows` hashes,
     * exact-band bucket join (self-join within buckets only, occupancy-capped),
     * pair dedup. Output (doc_a < doc_b, est_jaccard from full signatures).
@@ -133,13 +140,6 @@ object TextOps {
     * (a scale bug, not noise); the exact key makes spurious-candidate
     * probability zero by construction at any scale.
     */
-  /** The exact band signature as a joinable key: the band's minhash values,
-    * comma-joined. Shared by the batch and streaming LSH faces so a replayed
-    * corpus lands in identical buckets in both.
-    */
-  def bandSig(sig: Column, from: Int, rowsPerBand: Int): Column =
-    array_join(transform(slice(sig, from, rowsPerBand), _.cast("string")), ",")
-
   def minhashCandidatePairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                             bucketCap: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand

@@ -90,16 +90,34 @@ class PlanAuditSpec extends AnyFunSuite {
     // Window.orderBy with no partition spec funnels the whole input through
     // ONE task — the F5 cumulative-size selections did this until round 5's
     // distributed prefix sum (operators.PrefixSum). Assert it never returns.
-    import org.apache.spark.sql.execution.window.WindowExec
+    // Checked on the OPTIMIZED LOGICAL plan: with AQE on (the default),
+    // executedPlan is an AdaptiveSparkPlanExec LEAF whose collect() never
+    // descends into the real plan, so a physical-plan match is vacuous.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if !name.endsWith("_stream")) { // streaming queries execute on build
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       val bad = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
       }
       assert(bad.isEmpty,
         s"$name plans an unpartitioned window:\n${bad.headOption.getOrElse("")}")
     }
+  }
+
+  test("the unpartitioned-window audit actually detects an unpartitioned window") {
+    // guard against the check itself going vacuous again (AQE wrapping was
+    // exactly that): a deliberately global window must be caught
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("v")
+      .withColumn("s",
+        org.apache.spark.sql.functions.sum("v").over(W.orderBy("v")))
+    val found = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(found.nonEmpty, "audit failed to see a global window — check is vacuous")
   }
 
   test("span-dedup aggregates hash-based; KMV rank-k becomes a WindowGroupLimit") {
