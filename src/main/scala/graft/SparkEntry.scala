@@ -1181,6 +1181,43 @@ object SparkEntry {
           octet_length(col("text")), col("lang"), col("doc_id"),
           salt = "quant-7", thresholdHex = "55", probs = Seq(0.25, 0.5, 0.75, 0.95))
         .withColumnRenamed("grp", "lang")),
+
+    // north_rule resumability as a CORRECTNESS row: the extent merge runs
+    // through Snapshots.resumableBatched (8 deterministic d%8 file-group
+    // batches; batch 0 is structurally empty — d%8 = l_linenumber ∈ 1..7 —
+    // and exercises the empty-snapshot path) with a kill injected after 3
+    // committed batches on the first pass. The restart MUST skip the
+    // committed batches (asserted below — the query errors if resume
+    // recomputes them) and the union of the durable sub-snapshots must equal
+    // the plain one-pass group-by, which the oracle computes directly.
+    "q81_resume_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      val keys = (0 until 8).map(_.toString)
+      def batchMerge(b: String): DataFrame =
+        extracted(s, dir)
+          .filter(col("min_lon").isNotNull && col("d") % 8 === b.toInt)
+          .groupBy((col("d") % 8).as("batch"), (col("d") % 97).as("g"))
+          .agg(count(lit(1)).as("n_ext"),
+            min("min_lon").as("min_lon"), min("min_lat").as("min_lat"),
+            max("max_lon").as("max_lon"), max("max_lat").as("max_lat"))
+      var calls = 0
+      try {
+        table.Snapshots.resumableBatched(s, root, "resume_merge", keys) { b =>
+          calls += 1
+          if (calls > 3) throw new IllegalStateException("injected-kill")
+          batchMerge(b)
+        }
+        ()
+      } catch { case e: IllegalStateException if e.getMessage == "injected-kill" => () }
+      val recomputed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = table.Snapshots.resumableBatched(s, root, "resume_merge", keys) { b =>
+        recomputed += b; batchMerge(b)
+      }
+      require(recomputed.toList == keys.drop(3).toList,
+        s"resume must skip the 3 committed batches; recomputed=${recomputed.toList}")
+      out.select(col("batch"), col("g"), col("n_ext"),
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2104,5 +2141,13 @@ SELECT lang, p, v AS q_value, CAST(n AS BIGINT) AS n_sample
 FROM r, (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
   (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) AS pr(p)
 WHERE rn = CAST(ceil(p * n) AS BIGINT)""",
+
+    // the resume machinery must be output-invisible: the batched, killed-and-
+    // resumed merge equals the plain one-pass group-by (batch 0 is empty on
+    // both sides — d%8 = l_linenumber never hits 0)
+    "q81_resume_merge" -> (EXT +
+      """SELECT (d % 8) AS batch, (d % 97) AS g, CAST(count(min_lon) AS BIGINT) AS n_ext,
+min(min_lon) AS min_lon, min(min_lat) AS min_lat, max(max_lon) AS max_lon, max(max_lat) AS max_lat
+FROM ext WHERE min_lon IS NOT NULL GROUP BY 1, 2"""),
   )
 }

