@@ -1218,6 +1218,63 @@ object SparkEntry {
       out.select(col("batch"), col("g"), col("n_ext"),
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
     }),
+
+    // skew detection as a first-class operator: exact frequent cells via
+    // per-partition Misra–Gries(20) candidates + exact verify (operators.
+    // HeavyHitters) — keys with count·21 > n. The corpus plants a genuine
+    // hot cell (20 % of pages share one location, the salting test bed), so
+    // this is the detector that justifies SkewPlanner's salting decision,
+    // never shuffling the full key set. The MG sketch is output-invisible
+    // (superset property); the oracle recomputes the exact answer directly.
+    "q82_heavy_cells" -> ((s, dir) => {
+      val cells = withCentroid(extracted(s, dir))
+        .withColumn("cell2", CellEncode(col("latc"), col("lonc"), Pages.JoinZoom))
+      operators.HeavyHitters.heavyHitters(cells, col("cell2"), k = 20)
+        .select(Tiler.txUdf(col("key")).cast("long").as("tx"),
+          Tiler.tyUdf(col("key")).cast("long").as("ty"),
+          col("cnt"), col("n_total"))
+    }),
+
+    // as-of join (join.AsOfJoin, the union+window one-shuffle shape): every
+    // click event matched to the latest same-user view event at or before
+    // it, left-outer. The right side is pre-aggregated to one row per
+    // (user_id, ts) so tie-breaking is deterministic; the oracle is DuckDB's
+    // NATIVE ASOF LEFT JOIN — an independent implementation of the same
+    // semantics, not a mirror of the union trick.
+    "q83_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      join.AsOfJoin.asofBackward(clicks, views, key = "user_id", ts = "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("ts_right"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("view_value"))
+    }),
+
+    // storage-layout optimization as a CORRECTNESS row (table.ZOrder): the
+    // extent table is written clustered on the Morton z-curve, then a bbox
+    // query is answered by MANIFEST-stats file skipping (the per-file
+    // footer extents Snapshots records) + the exact intersection filter.
+    // Pruning must be output-invisible — the oracle is the plain bbox
+    // predicate — and effective: the query fails unless more than half the
+    // files were skipped (asserted in-query; the Europe box touches ~21 % of
+    // rows but a compact z-range of files).
+    "q84_zorder_scan" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q84").toString
+      val ext = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+      table.ZOrder.writeClustered(ext, root, "zorder_extents",
+        (col("min_lat") + col("max_lat")) / 2, (col("min_lon") + col("max_lon")) / 2,
+        zoom = 12, partitions = 64)
+      val (rows, read, total) = table.ZOrder.readBbox(s, root, 0.0, 40.0, 20.0, 55.0)
+      require(read * 2 < total,
+        s"z-order manifest pruning ineffective: read $read of $total files")
+      rows.select(col("d").as("doc_id"),
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2149,5 +2206,33 @@ WHERE rn = CAST(ceil(p * n) AS BIGINT)""",
       """SELECT (d % 8) AS batch, (d % 97) AS g, CAST(count(min_lon) AS BIGINT) AS n_ext,
 min(min_lon) AS min_lon, min(min_lat) AS min_lat, max(max_lon) AS max_lon, max(max_lat) AS max_lat
 FROM ext WHERE min_lon IS NOT NULL GROUP BY 1, 2"""),
+
+    // exact heavy-hitter answer (the MG candidate stage is a superset, so it
+    // cannot change the output): cells whose exact count · 21 exceeds the
+    // total — integer arithmetic only, same q06 cell closed form
+    "q82_heavy_cells" -> (EXT +
+      s""", c AS (SELECT d, (min_lon+max_lon)/2 AS lonc, (min_lat+max_lat)/2 AS latc FROM ext WHERE min_lon IS NOT NULL),
+k AS (SELECT CAST(floor((lonc+180.0)/360.0*16.0) AS BIGINT) AS tx, ${MERC16.format("latc", "latc")} AS ty FROM c),
+g AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1, 2),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM k)
+SELECT tx, ty, cnt, n_total FROM g, t WHERE cnt * 21 > n_total"""),
+
+    // independent asof implementation: DuckDB's native ASOF LEFT JOIN picks
+    // the greatest view ts <= click ts per user — exactly the union+window
+    // carry; timestamps compared at full microsecond precision on both
+    // sides, formatted only in the output projection
+    "q83_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id, ts, max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
+FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts""",
+
+    // the z-order write + manifest file skipping must be output-invisible:
+    // plain bbox intersection over the closed form
+    "q84_zorder_scan" -> (EXT +
+      """SELECT d AS doc_id, min_lon, min_lat, max_lon, max_lat FROM ext
+WHERE min_lon IS NOT NULL
+  AND max_lon >= 0.0 AND min_lon <= 20.0 AND max_lat >= 40.0 AND min_lat <= 55.0"""),
   )
 }

@@ -142,4 +142,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), s"q43 identity groupBy fell back to SortAggregate:\n$p")
     assert(p.contains("HashAggregate"), s"expected a hash aggregation in q43:\n$p")
   }
+
+  test("as-of join is the union+window shape: one collapsed window, no join operator (q83)") {
+    assume(hasData)
+    val p = planOf("q83_asof_join")
+    // the carried right-payload columns must collapse into a SINGLE Window
+    // exec (CollapseWindow) — N windows would mean N sorts of the event set
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows === 1, s"expected exactly one Window exec, got $windows:\n$p")
+    // no join operator of any kind: the asof IS a union + window
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), s"q83 unexpectedly plans $j:\n$p")
+  }
+
+  test("heavy-hitter verify is a broadcast semi-join on the candidate set (q82)") {
+    assume(hasData)
+    // phase 2 must probe with a BROADCAST left-semi (candidates are bounded
+    // by k·partitions) — a shuffled join here would shuffle the full key set,
+    // exactly what the two-pass design exists to avoid
+    val p = planOf("q82_heavy_cells")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"q82 candidate filter is not a broadcast semi-join:\n$p")
+  }
 }
