@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   *      > n_p/(k+1); by pigeonhole a key with GLOBAL count > n/(k+1) exceeds
   *      that local threshold in at least one partition — so the union of
   *      per-partition candidate keys is a SUPERSET of the true heavy keys
-  *      (≤ k·partitions keys total, broadcastable).
-  *   2. exact verify: re-scan with a broadcast semi-join on the candidate
-  *      set, exact groupBy over the few surviving rows, keep keys with
-  *      cnt·(k+1) > n — integer arithmetic, no division, so an external SQL
-  *      oracle reproduces the OUTPUT exactly even though phase 1 is a sketch.
+  *      (≤ k·partitions keys, a bounded driver summary).
+  *   2. exact verify: one aggregation scan where every non-candidate key is
+  *      collapsed into a single null bucket (map-side partial agg, so the
+  *      shuffle carries ≤ candidates+1 rows per map task). Both the exact
+  *      per-candidate counts AND the total row count come out of this SAME
+  *      scan, so they are mutually consistent even if the source recomputes
+  *      differently between jobs; keys with cnt·(k+1) > n survive — integer
+  *      arithmetic, no division, so an external SQL oracle reproduces the
+  *      OUTPUT exactly even though phase 1 is a sketch.
+  *
+  * The superset property (phase 1 vs phase 2) additionally requires the
+  * input to be deterministic under recomputation — the standard assumption
+  * of every multi-pass Spark algorithm; cache the input when it is not.
   *
   * This is the detector that justifies skew handling (join/SkewPlanner's
   * salting decision = "does any key exceed a frequency bound?") — here as a
@@ -32,30 +40,37 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Keys with exact count · (k+1) > total rows, over `key` cast to long.
-    * Output: (key, cnt, n_total). Requires a non-null integral key column
+    * Output: (key, cnt, n_total) — materialized, since a heavy-hitter result
+    * is ≤ k+1 rows by definition. Requires a non-null integral key column
     * (cells, ids, hashes); callers hash arbitrary keys to 64-bit first.
-    *
-    * Exactly TWO scans of the key stream: pass 1 emits each partition's MG
-    * candidate keys plus its row count (the total rides the same scan), and
-    * the driver folds that bounded summary — ≤ (k+1)·partitions rows, the
-    * same bounded-by-contract collect as the skew histogram — into the
-    * candidate set + n; pass 2 is the exact verify.
     */
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(key.cast("long").as("key")).filter(col("key").isNotNull)
+    val candidates = mgCandidates(keys, k)
+    val counts = exactCounts(keys, candidates)
+      .collect() // bounded: ≤ candidates+1 rows
+    val nTotal = counts.iterator.map(_.getLong(1)).sum
+    val heavy = counts.iterator
+      .filter(r => !r.isNullAt(0) && r.getLong(1) * (k + 1L) > nTotal)
+      .map(r => (r.getLong(0), r.getLong(1), nTotal))
+      .toSeq.sortBy(_._1)
+    heavy.toDF("key", "cnt", "n_total")
+  }
 
-    // phase 1: per-partition Misra–Gries(k). Decrement-all is amortized O(1)
-    // per row (every decrement cancels a prior increment), so the scan is
-    // linear with an O(k) map per task. Each partition also emits its row
-    // count as an (isTotal=true) row so n_total needs no second scan.
-    val summary = keys.as[Long].mapPartitions { it =>
+  /** Phase 1: per-partition Misra–Gries(k). Decrement-all is amortized O(1)
+    * per row (every decrement cancels a prior increment), so the scan is
+    * linear with an O(k) map per task. Returns the deduplicated candidate
+    * union — a bounded ≤ k·partitions driver summary, the same
+    * bounded-by-contract collect as the skew histogram.
+    */
+  private[graft] def mgCandidates(keys: DataFrame, k: Int): Seq[Long] = {
+    import keys.sparkSession.implicits._
+    keys.as[Long].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[Long, Long]
-      var n = 0L
       it.foreach { t =>
-        n += 1
         counters.get(t) match {
           case Some(c) => counters.update(t, c + 1)
           case None if counters.size < k => counters.update(t, 1L)
@@ -64,16 +79,18 @@ object HeavyHitters {
             counters.filterInPlace((_, v) => v > 0)
         }
       }
-      counters.keysIterator.map(kk => (false, kk, 0L)) ++ Iterator.single((true, 0L, n))
-    }.collect() // bounded: ≤ (k+1) rows per partition
-    val nTotal = summary.iterator.filter(_._1).map(_._3).sum
-    val candidates = summary.iterator.filterNot(_._1).map(_._2).toVector.distinct
-
-    // phase 2: exact verify — count only candidate keys (tiny shuffle), then
-    // the exact threshold on true counts.
-    keys.join(broadcast(candidates.toDF("key")), Seq("key"), "left_semi")
-      .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * lit(k + 1L) > lit(nTotal))
-      .select(col("key"), col("cnt"), lit(nTotal).as("n_total"))
+      counters.keysIterator
+    }.collect().toVector.distinct
   }
+
+  /** Phase 2 plan: one scan, non-candidates collapsed into the null bucket
+    * by the partial aggregation — the shuffle carries ≤ candidates+1 rows
+    * per map task and the full key set is never exchanged.
+    */
+  private[graft] def exactCounts(keys: DataFrame, candidates: Seq[Long]): DataFrame =
+    keys
+      .withColumn("ckey",
+        if (candidates.isEmpty) lit(null).cast("long")
+        else when(col("key").isInCollection(candidates), col("key")))
+      .groupBy("ckey").agg(count(lit(1)).as("cnt"))
 }

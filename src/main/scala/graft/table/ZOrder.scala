@@ -3,7 +3,6 @@ package graft.table
 import graft.functions.CellEncode
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Z-order clustering + manifest-stats file skipping — the storage-layout
   * half of Iceberg, from scratch on top of [[Snapshots]].
@@ -39,30 +38,26 @@ object ZOrder {
     Snapshots.write(df.repartitionByRange(n, z).sortWithinPartitions(z), path, stage)
   }
 
-  private val FileEntry =
-    """"file":"([^"]+)","bytes":\d+,"rows":(\d+)(?:,"extent":\[([^\]]*)\])?""".r
-
   /** Manifest-pruned bbox read: open only files whose recorded extent
     * intersects [minLon,maxLon]×[minLat,maxLat], then apply the exact
     * intersection filter. Pruning is CORRECT for any layout (per-file bounds
-    * are true bounds; a file with no extent stat is read conservatively,
-    * a 0-row file is skipped) and EFFECTIVE for clustered ones. Returns
-    * (rows, filesRead, filesTotal) so callers can assert effectiveness.
+    * are true bounds; a file with no extent stat — stats-less or
+    * NaN-poisoned footers — is read conservatively, a 0-row file is skipped)
+    * and EFFECTIVE for clustered ones. Manifest parsing is
+    * [[Snapshots.readManifest]], the same parser completeness checking uses.
+    * Returns (rows, filesRead, filesTotal) so callers can assert
+    * effectiveness.
     */
   def readBbox(spark: SparkSession, path: String,
                minLon: Double, minLat: Double, maxLon: Double, maxLat: Double)
       : (DataFrame, Int, Int) = {
-    val json = Files.readString(Paths.get(path, "_graft_manifest.json"))
-    val entries = FileEntry.findAllMatchIn(json).map { m =>
-      val extent = Option(m.group(3)).map(_.split(",").map(_.toDouble))
-      (m.group(1), m.group(2).toLong, extent)
-    }.toVector
-    val keep = entries.filter { case (_, rows, extent) =>
-      rows > 0 && extent.forall { e =>
-        // e = [min_lon, min_lat, max_lon, max_lat] of the file
-        e(2) >= minLon && e(0) <= maxLon && e(3) >= minLat && e(1) <= maxLat
+    val entries = Snapshots.readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no readable snapshot manifest under $path"))
+    val keep = entries.filter { f =>
+      f.rows > 0 && f.extent.forall { case (lo0, la0, lo1, la1) =>
+        lo1 >= minLon && lo0 <= maxLon && la1 >= minLat && la0 <= maxLat
       }
-    }.map { case (name, _, _) => s"$path/$name" }
+    }.map(f => s"$path/${f.name}")
     val pred =
       col("max_lon") >= minLon && col("min_lon") <= maxLon &&
         col("max_lat") >= minLat && col("min_lat") <= maxLat

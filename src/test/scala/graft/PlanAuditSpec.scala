@@ -156,13 +156,21 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains(j), s"q83 unexpectedly plans $j:\n$p")
   }
 
-  test("heavy-hitter verify is a broadcast semi-join on the candidate set (q82)") {
+  test("heavy-hitter verify never shuffles the full key set (q82 phase-2 plan)") {
     assume(hasData)
-    // phase 2 must probe with a BROADCAST left-semi (candidates are bounded
-    // by k·partitions) — a shuffled join here would shuffle the full key set,
-    // exactly what the two-pass design exists to avoid
-    val p = planOf("q82_heavy_cells")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"q82 candidate filter is not a broadcast semi-join:\n$p")
+    // phase 2 collapses non-candidates into the null bucket BEFORE the
+    // exchange: the plan must be a partial HashAggregate on ckey (map-side
+    // collapse) + exchange + final HashAggregate, with no join and no raw
+    // key exchange. The operator's returned frame is the materialized ≤ k+1
+    // result, so audit the internal phase-2 plan directly.
+    val keys = spark.range(0, 1000).selectExpr("id % 7 as key")
+    val p = operators.HeavyHitters.exactCounts(keys, Seq(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"phase 2 not hash-aggregated:\n$p")
+    assert(!p.contains("Join"), s"phase 2 unexpectedly plans a join:\n$p")
+    assert("Exchange hashpartitioning\\(ckey".r.findFirstIn(p).isDefined,
+      s"phase 2 must exchange on the collapsed ckey, not the raw key:\n$p")
+    assert(!"Exchange hashpartitioning\\(key".r.findFirstIn(p).isDefined,
+      s"phase 2 exchanges the raw key set:\n$p")
   }
 }

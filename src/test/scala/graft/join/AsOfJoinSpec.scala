@@ -49,6 +49,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(0)).toList === List(42.0))
   }
 
+  test("a matched right row with a NULL payload yields NULL, never an older row's value") {
+    import spark.implicits._
+    // right rows: (t1, v=5.0) then (t2, v=NULL); the t2 row IS the match for
+    // a left row at t3 — per-column ignoreNulls carries would stitch
+    // (ts=t2, v=5.0), a row that never existed (SQL asof returns v=NULL)
+    val left = Seq((1L, 0L, ts("2020-01-01 12:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (0L, ts("2020-01-01 10:00:00"), Some(5.0)),
+      (0L, ts("2020-01-01 11:00:00"), None: Option[Double])
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts")
+      .select("ts_right", "v").collect().head
+    assert(out.getTimestamp(0) === ts("2020-01-01 11:00:00"))
+    assert(out.isNullAt(1), "NULL payload of the matched row must survive as NULL")
+  }
+
+  test("null keys and timestamps follow SQL asof semantics: never match, left rows kept") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(0L), Some(ts("2020-01-01 12:00:00"))), // normal: matches
+      (2L, None: Option[Long], Some(ts("2020-01-01 12:00:00"))), // null key: no match
+      (3L, Some(0L), None: Option[java.sql.Timestamp]) // null ts: no match
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (Some(0L), Some(ts("2020-01-01 10:00:00")), 1.0),
+      (None: Option[Long], Some(ts("2020-01-01 09:00:00")), 2.0), // null key right: inert
+      (Some(0L), None: Option[java.sql.Timestamp], 3.0) // null ts right: inert
+    ).toDF("k", "ts", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts")
+      .select("event_id", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
   test("payload column collision is rejected") {
     import spark.implicits._
     val left = Seq((1L, 0L, ts("2020-01-01 10:00:00"))).toDF("v", "k", "ts")

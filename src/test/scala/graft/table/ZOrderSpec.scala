@@ -68,6 +68,25 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("NaN bbox values suppress the file extent; the file is read conservatively, never pruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder4").toString
+    // one file whose min_lon column contains a NaN alongside real rows far
+    // from the probe box — if an extent were recorded with NaN (or from the
+    // non-NaN subset only), the box below could wrongly prune the file
+    val df = Seq(
+      (1L, Double.NaN, 1.0, 2.0, 2.0),
+      (2L, 100.0, 40.0, 101.0, 41.0)
+    ).toDF("d", "min_lon", "min_lat", "max_lon", "max_lat").repartition(1)
+    Snapshots.write(df, s"$dir/z", "nan")
+    val stats = Snapshots.readManifest(spark, s"$dir/z").get
+    assert(stats.exists(_.rows > 0))
+    assert(stats.forall(_.extent.isEmpty), s"NaN file must carry no extent: $stats")
+    val (rows, read, total) = ZOrder.readBbox(spark, s"$dir/z", 100.0, 40.0, 101.0, 41.0)
+    assert(read === total, "stat-less file must be read conservatively")
+    assert(rows.collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("a box intersecting nothing returns empty through the no-file fallback path") {
     val dir = Files.createTempDirectory("graft-zorder3").toString
     // all points in the eastern hemisphere
