@@ -1275,6 +1275,19 @@ object SparkEntry {
       rows.select(col("d").as("doc_id"),
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
     }),
+
+    // EXACT Jaccard-threshold self-join (text.JaccardJoin, AllPairs prefix
+    // filtering + exact verify) over the exact-dup-pre-collapsed planted
+    // corpus at τ = 4/5 — the exact counterpart of q23's LSH: no false
+    // negatives by construction, all-integer threshold test, so the oracle
+    // recomputes the full answer from scratch with no candidate stage at all.
+    // The planted near pairs (1-token trailer) land at J ≈ 0.89+ and the
+    // repetition pairs (text doubled) at n/(n+2) ≥ 0.8 — including the
+    // exact-boundary 8-shingle docs, where 5·8 ≥ 4·10 ties are kept.
+    "q85_jaccard_join" -> ((s, dir) => {
+      val canon = docsDup(s, dir).groupBy("text").agg(min("doc_id").as("doc_id"))
+      text.JaccardJoin.jaccardJoin(canon.select("doc_id", "text"), tauNum = 4, tauDen = 5)
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2234,5 +2247,20 @@ FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts""
       """SELECT d AS doc_id, min_lon, min_lat, max_lon, max_lat FROM ext
 WHERE min_lon IS NOT NULL
   AND max_lon >= 0.0 AND min_lon <= 20.0 AND max_lat >= 40.0 AND min_lat <= 55.0"""),
+
+    // full from-scratch recompute — no prefix stage, no candidates: every
+    // co-shingle pair's exact intersection, integer threshold 5·i ≥ 4·(u)
+    "q85_jaccard_join" -> (DUP +
+      """, canon AS (SELECT min(doc_id) AS doc_id, text FROM docs2 GROUP BY text),
+toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM canon),
+tn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+sh AS (SELECT DISTINCT doc_id, t[g.i] || ' ' || t[g.i+1] || ' ' || t[g.i+2] AS s
+  FROM tn, LATERAL unnest(generate_series(1, n-2)) AS g(i)),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, i AS n_inter, (ca.n + cb.n - i) AS n_union
+FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE 5 * i >= 4 * (ca.n + cb.n - i)"""),
   )
 }
