@@ -35,7 +35,13 @@ object Pipeline {
     import table.Snapshots.resumable
 
     val extracted = resumable(spark, s"$workDir/s1_extracted", "extract") {
-      operators.Extractor.extract(table.Pages.pages(spark, sfDir)).toDF()
+      // z-order the snapshot on the extent centroid: the stage's manifest
+      // then carries tight per-file extents (table.ZOrder), so any later
+      // bbox consumer can skip most files from the manifest alone;
+      // null-extent rows cluster together and never match a bbox predicate
+      table.ZOrder.cluster(
+        operators.Extractor.extract(table.Pages.pages(spark, sfDir)).toDF(),
+        (col("min_lat") + col("max_lat")) / 2, (col("min_lon") + col("max_lon")) / 2)
     }
 
     val merged = resumable(spark, s"$workDir/s2_merged", "bbox_tbox_merge") {

@@ -30,12 +30,23 @@ object ZOrder {
     * any realistic file count).
     */
   def writeClustered(df: DataFrame, path: String, stage: String, lat: Column, lon: Column,
-                     zoom: Int = 12, partitions: Int = 0): Unit = {
+                     zoom: Int = 12, partitions: Int = 0): Unit =
+    Snapshots.write(cluster(df, lat, lon, zoom, partitions), path, stage)
+
+  /** The clustering transformation alone (range-partition + in-partition sort
+    * on the z-value), for callers that hand the result to their own snapshot
+    * writer — e.g. a `Snapshots.resumable` stage whose output should be
+    * prunable. Rows with null lat/lon get a null z-value and cluster
+    * together at the front; they never match a bbox predicate, so pruning
+    * stays sound.
+    */
+  def cluster(df: DataFrame, lat: Column, lon: Column,
+              zoom: Int = 12, partitions: Int = 0): DataFrame = {
     val z = CellEncode(lat, lon, zoom)
     val n =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    Snapshots.write(df.repartitionByRange(n, z).sortWithinPartitions(z), path, stage)
+    df.repartitionByRange(n, z).sortWithinPartitions(z)
   }
 
   /** Manifest-pruned bbox read: open only files whose recorded extent

@@ -34,6 +34,18 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$work/s1_extracted/_graft_manifest.json")) === s1Mtime)
     assert(spark.read.parquet(s"$work/s3_pip").count() === pipCount)
     assert(table.Snapshots.isComplete(spark, s"$work/s4_tiles"))
+
+    // the z-ordered s1 snapshot is prunable from its manifest alone, and
+    // pruning is output-invisible vs the plain predicate over the full read
+    import org.apache.spark.sql.functions.col
+    val (zRows, zRead, zTotal) =
+      table.ZOrder.readBbox(spark, s"$work/s1_extracted", 0.0, 40.0, 20.0, 55.0)
+    assert(zRead < zTotal, s"no file skipped: $zRead/$zTotal")
+    val pred = col("max_lon") >= 0.0 && col("min_lon") <= 20.0 &&
+      col("max_lat") >= 40.0 && col("min_lat") <= 55.0
+    val full = spark.read.parquet(s"$work/s1_extracted").filter(pred)
+    assert(zRows.count() === full.count())
+    assert(zRows.count() > 0)
   }
 
   test("completeness is metadata-only and tamper-evident: a size-mismatched file fails the check") {
