@@ -1288,6 +1288,26 @@ object SparkEntry {
       val canon = docsDup(s, dir).groupBy("text").agg(min("doc_id").as("doc_id"))
       text.JaccardJoin.jaccardJoin(canon.select("doc_id", "text"), tauNum = 4, tauDen = 5)
     }),
+
+    // distance-threshold spatial join (join.SpatialJoins.distanceJoin): all
+    // page centroids within 6 planar degrees of each nation probe — one grid
+    // pass where each probe certifies its own cell-disk radius via
+    // diskBound2 before exploding, so the join is cell-equi and candidates
+    // are disk-proportional (never a cross join). Same probe construction
+    // and squared-degree metric as q08, so the oracle is the plain predicate.
+    "q86_distance_join" -> ((s, dir) => {
+      val pts = withCentroid(extracted(s, dir))
+        .select(col("d").as("pid"), col("lonc").as("lon"), col("latc").as("lat"))
+      val qrows = s.read.parquet(s"$dir/nation.parquet").limit(10001).collect()
+      require(qrows.length <= 10000, "probe side exceeds driver cap; distribute the query side")
+      import s.implicits._
+      val qs = qrows.toSeq.map { r =>
+        val n = r.getAs[Int]("n_nationkey").toLong
+        val (x0, y0, _, _) = Pages.polyBounds(n)
+        (n, x0 + 12.0, y0 + 9.0)
+      }.toDF("qid", "qlon", "qlat")
+      join.SpatialJoins.distanceJoin(qs, pts, radiusDeg = 6.0)
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2262,5 +2282,17 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) 
 SELECT doc_a, doc_b, i AS n_inter, (ca.n + cb.n - i) AS n_union
 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE 5 * i >= 4 * (ca.n + cb.n - i)"""),
+
+    // the grid prefilter must be output-invisible: plain all-pairs distance
+    // predicate (q08's probe closed form, radius² = 36 in squared degrees)
+    "q86_distance_join" -> (EXT +
+      """, nat AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+  ((n_nationkey*37) % 300) - 150 + 0.015625 + 12.0 AS qlon,
+  ((n_nationkey*23) % 130) - 65 + 0.015625 + 9.0 AS qlat FROM nation),
+c AS (SELECT qid, e.d AS pid,
+  ((e.min_lon+e.max_lon)/2 - qlon)*((e.min_lon+e.max_lon)/2 - qlon) +
+  ((e.min_lat+e.max_lat)/2 - qlat)*((e.min_lat+e.max_lat)/2 - qlat) AS dist2
+  FROM nat, ext e WHERE e.min_lon IS NOT NULL)
+SELECT qid, pid, dist2 FROM c WHERE dist2 <= 36.0"""),
   )
 }

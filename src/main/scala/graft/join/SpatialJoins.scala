@@ -241,4 +241,40 @@ object SpatialJoins {
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
       .drop("_bucket").dropDuplicates()
   }
+
+  /** Distance-threshold (range) spatial join: every (query, point) pair
+    * within `radiusDeg` planar degrees (squared-degree metric, same as kNN —
+    * the reference compares raw lon/lat). ONE grid pass, no iteration:
+    * each query computes up front the smallest cell-disk radius whose
+    * [[diskBound2]] certifies that nothing OUTSIDE the disk can lie within
+    * `radiusDeg` (Mercator cell heights shrink toward the poles, so the
+    * required disk is per-query, not a constant), explodes exactly that
+    * disk, cell-equi-joins the corpus on the grid, and keeps
+    * dist² ≤ radius². A point lives in exactly one cell, so no pair is
+    * produced twice. Candidates are disk-proportional and the join is the
+    * same grid-partitioned shuffle as kNN/PIP — never a cross join; hot
+    * cells salt like any other cell-equi join.
+    */
+  def distanceJoin(queries: DataFrame, points: DataFrame, radiusDeg: Double,
+                   zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
+    require(radiusDeg > 0, s"radius must be positive, got $radiusDeg")
+    val r2 = radiusDeg * radiusDeg
+    val pts = points.select(col("pid"), col("lon"), col("lat"),
+      graft.functions.CellEncode(col("lat"), col("lon"), zoom).as("cell"))
+    val maxR = 1 << zoom
+    val diskUdf = udf((qlat: Double, qlon: Double) => {
+      val qcell = QuadKey.encode(qlat, qlon, zoom)
+      var rr = 1
+      while (rr < maxR && diskBound2(qcell, qlon, qlat, rr) < r2) rr += 1
+      QuadKey.disk(qcell, rr)
+    })
+    val q = queries.select(col("qid"), col("qlon"), col("qlat"))
+      .withColumn("cell", explode(diskUdf(col("qlat"), col("qlon"))))
+    pts.join(q, Seq("cell"))
+      .withColumn("dist2",
+        (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
+          (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      .filter(col("dist2") <= lit(r2))
+      .select(col("qid"), col("pid"), col("dist2"))
+  }
 }

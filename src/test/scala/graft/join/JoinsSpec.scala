@@ -166,4 +166,32 @@ class JoinsSpec extends AnyFunSuite {
     val empty = SpatialJoins.knnJoinBig(q, tiny.filter(col("pid") < 0), 5)
     assert(empty.count() === 0)
   }
+
+  test("distanceJoin equals brute-force radius filter, incl. world-edge probes and boundary ties") {
+    val ptsSeq = randomPoints(4000, 21L).map { case (_, lon, lat, _) => (lon, lat) }
+      .zipWithIndex.map { case ((lon, lat), i) => (i.toLong, lon, lat) }
+    val pts = ptsSeq.toDF("pid", "lon", "lat")
+    // probes include world corners/edges (disk clamping) and a pole-adjacent
+    // probe (Mercator cell heights shrink, so the required disk grows)
+    val qSeq = Seq(
+      (0L, 0.0, 0.0), (1L, -169.9, -79.9), (2L, 169.9, 79.9),
+      (3L, 7.5, 51.5), (4L, -120.0, 70.0))
+    val qs = qSeq.toDF("qid", "qlon", "qlat")
+    val r = 8.0
+    val got = SpatialJoins.distanceJoin(qs, pts, radiusDeg = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = (for {
+      (qid, qlon, qlat) <- qSeq
+      (pid, lon, lat) <- ptsSeq
+      if (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) <= r * r
+    } yield (qid, pid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+
+    // exact boundary tie: a point at dist2 == r² must be kept
+    val tiePts = Seq((100L, 3.0, 0.0)).toDF("pid", "lon", "lat")
+    val tieQ = Seq((0L, 0.0, 0.0)).toDF("qid", "qlon", "qlat")
+    val tie = SpatialJoins.distanceJoin(tieQ, tiePts, radiusDeg = 3.0).collect()
+    assert(tie.length === 1 && tie.head.getDouble(2) === 9.0)
+  }
 }
