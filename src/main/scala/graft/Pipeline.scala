@@ -34,15 +34,21 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, workDir: String): Unit = {
     import table.Snapshots.resumable
 
-    val extracted = resumable(spark, s"$workDir/s1_extracted", "extract") {
-      // z-order the snapshot on the extent centroid: the stage's manifest
-      // then carries tight per-file extents (table.ZOrder), so any later
-      // bbox consumer can skip most files from the manifest alone;
-      // null-extent rows cluster together and never match a bbox predicate
-      table.ZOrder.cluster(
-        operators.Extractor.extract(table.Pages.pages(spark, sfDir)).toDF(),
-        (col("min_lat") + col("max_lat")) / 2, (col("min_lon") + col("max_lon")) / 2)
-    }
+    // z-order the s1 snapshot on the extent centroid: the stage's manifest
+    // then carries tight per-file extents (table.ZOrder), so any later bbox
+    // consumer can skip most files from the manifest alone; null-extent rows
+    // cluster together and never match a bbox predicate. The raw extract is
+    // persisted for the duration of the stage because repartitionByRange runs
+    // a SAMPLING job before the shuffle — uncached, the extraction kernel
+    // (the pipeline's dominant cost) would execute twice.
+    var rawExtract: org.apache.spark.sql.DataFrame = null
+    val extracted =
+      try resumable(spark, s"$workDir/s1_extracted", "extract") {
+        rawExtract = operators.Extractor.extract(table.Pages.pages(spark, sfDir)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        table.ZOrder.cluster(rawExtract,
+          (col("min_lat") + col("max_lat")) / 2, (col("min_lon") + col("max_lon")) / 2)
+      } finally if (rawExtract != null) rawExtract.unpersist()
 
     val merged = resumable(spark, s"$workDir/s2_merged", "bbox_tbox_merge") {
       // tbox via the typed Aggregator: signed-ISO deep-time strings mis-order

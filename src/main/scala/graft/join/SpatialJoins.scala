@@ -264,8 +264,12 @@ object SpatialJoins {
     val maxR = 1 << zoom
     val diskUdf = udf((qlat: Double, qlon: Double) => {
       val qcell = QuadKey.encode(qlat, qlon, zoom)
-      var rr = 1
-      while (rr < maxR && diskBound2(qcell, qlon, qlat, rr) < r2) rr += 1
+      // rr = 0 keeps single-cell disks when the query's own cell certifies
+      // the radius; <= (not <) because the kept predicate is CLOSED
+      // (dist² ≤ r²) — at bound² == r² a point exactly on the disk's
+      // boundary line encodes into the first cell outside and would be lost
+      var rr = 0
+      while (rr < maxR && diskBound2(qcell, qlon, qlat, rr) <= r2) rr += 1
       QuadKey.disk(qcell, rr)
     })
     val q = queries.select(col("qid"), col("qlon"), col("qlat"))

@@ -48,12 +48,11 @@ object JaccardJoin {
     */
   def jaccardJoin(docs: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
-    val toks = docs
-      .select(col("doc_id"), filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("t"))
-      .filter(size(col("t")) >= 3)
-    val sh = toks.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("s"))
+    // the ONE shingle definition shared with the rest of the dedup family —
+    // a second tokenizer here would have to be kept in sync with the DuckDB
+    // oracle contract by hand (explode drops sub-3-token docs: empty array)
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.ngramStrings(col("text"), 3)).as("s"))
 
     val dict = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = sh.join(dict, "s")
