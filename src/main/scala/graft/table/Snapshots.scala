@@ -102,7 +102,7 @@ object Snapshots {
     }
   }
 
-  private def manifestJson(stage: String, columns: Seq[String], stats: Seq[FileStat]): String = {
+  private[table] def manifestJson(stage: String, columns: Seq[String], stats: Seq[FileStat]): String = {
     val cols = columns.map(c => "\"" + c + "\"").mkString(",")
     val files = stats.map { f =>
       val ext = f.extent.map { case (a, b, c, d) => s""","extent":[$a,$b,$c,$d]""" }.getOrElse("")
