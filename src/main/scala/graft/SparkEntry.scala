@@ -1308,6 +1308,27 @@ object SparkEntry {
       }.toDF("qid", "qlon", "qlat")
       join.SpatialJoins.distanceJoin(qs, pts, radiusDeg = 6.0)
     }),
+
+    // big×big extent-overlap join (join.SpatialJoins.extentOverlapJoin):
+    // every page extent intersecting every 97th raster extent — grid
+    // cell-equi join + exact rect residual, pairs deduplicated by PBSM
+    // reporting-cell (emitted only where the overlap's min corner lands), so
+    // there is NO distinct shuffle. The oracle computes the same pair set
+    // through an independent 10°-lon-band bucketing + DISTINCT.
+    "q87_extent_overlap" -> ((s, dir) => {
+      // the synthetic lineitem duplicates some (orderkey, linenumber) pairs
+      // (60k rows, 45,832 distinct d at sf0.01) — dedup the extent rows so a
+      // page pairs once however many corpus rows carry it (oracle mirrors)
+      val pext = extracted(s, dir).filter(col("min_lon").isNotNull)
+        .select(col("d").as("doc_id"),
+          col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+        .distinct()
+      val rext = graft.table.RasterTable.extents(graft.table.RasterTable.rasters(s, dir))
+        .filter(col("raster_id") % 97 === 0)
+        .select(col("raster_id"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+      join.SpatialJoins.extentOverlapJoin(pext, "doc_id", rext, "raster_id")
+        .select(col("doc_id"), col("raster_id").cast("long").as("raster_id"))
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2294,5 +2315,28 @@ c AS (SELECT qid, e.d AS pid,
   ((e.min_lat+e.max_lat)/2 - qlat)*((e.min_lat+e.max_lat)/2 - qlat) AS dist2
   FROM nat, ext e WHERE e.min_lon IS NOT NULL)
 SELECT qid, pid, dist2 FROM c WHERE dist2 <= 36.0"""),
+
+    // independent bucketing: 10°-lon bands + DISTINCT (the engine dedups by
+    // reporting cell instead — both must land on the same pair set); raster
+    // closed form = q33's
+    "q87_extent_overlap" -> (EXT +
+      """, x AS (SELECT p_partkey AS raster_id,
+  CAST(((p_partkey*11) % 300) - 150 AS DOUBLE) AS gt0,
+  CAST(((p_partkey*13) % 140) - 70 AS DOUBLE) AS gt3,
+  (64 + (p_partkey % 5)*32) AS width, (64 + (p_partkey % 7)*32) AS height
+  FROM part WHERE p_partkey % 97 = 0),
+r AS (SELECT CAST(raster_id AS BIGINT) AS raster_id,
+  least(gt0, gt0 + width*0.03125) AS rl0,
+  least(gt3, gt3 + height*(-0.015625)) AS rl1,
+  greatest(gt0, gt0 + width*0.03125) AS rl2,
+  greatest(gt3, gt3 + height*(-0.015625)) AS rl3 FROM x),
+rb AS (SELECT r.*, g.b FROM r,
+  LATERAL unnest(generate_series(CAST(floor(rl0/10) AS INT), CAST(floor(rl2/10) AS INT))) AS g(b)),
+pd AS (SELECT DISTINCT d, min_lon, min_lat, max_lon, max_lat FROM ext WHERE min_lon IS NOT NULL),
+pb AS (SELECT d, min_lon, min_lat, max_lon, max_lat, g.b FROM pd,
+  LATERAL unnest(generate_series(CAST(floor(min_lon/10) AS INT), CAST(floor(max_lon/10) AS INT))) AS g(b))
+SELECT DISTINCT d AS doc_id, raster_id FROM pb JOIN rb USING (b)
+WHERE pb.min_lon <= rb.rl2 AND rb.rl0 <= pb.max_lon
+  AND pb.min_lat <= rb.rl3 AND rb.rl1 <= pb.max_lat"""),
   )
 }

@@ -194,4 +194,31 @@ class JoinsSpec extends AnyFunSuite {
     val tie = SpatialJoins.distanceJoin(tieQ, tiePts, radiusDeg = 3.0).collect()
     assert(tie.length === 1 && tie.head.getDouble(2) === 9.0)
   }
+
+  test("extentOverlapJoin equals brute-force rect intersection with EXACTLY one row per pair") {
+    // wide rects force multi-cell covers, so pairs meet in several shared
+    // cells — the reporting-cell dedup must still emit each pair once; the
+    // set includes touching edges (closed overlap) and world-edge rects
+    def rects(n: Int, seed: Int) = (0 until n).map { i =>
+      val lon0 = ((i * 7919 + seed) % 3300) / 10.0 - 170.0
+      val lat0 = ((i * 104729 + seed) % 1400) / 10.0 - 75.0
+      (i.toLong, lon0, lat0, lon0 + 1 + (i % 30), lat0 + 1 + (i % 10))
+    }
+    val aSeq = rects(120, 0)
+    val bSeq = rects(80, 17) ++ Seq(
+      (900L, 10.0, 10.0, 20.0, 20.0),
+      (901L, 20.0, 10.0, 30.0, 20.0)) // 901 touches 900-overlappers at lon=20 exactly
+    val a = aSeq.toDF("aid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val b = bSeq.toDF("bid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val rows = SpatialJoins.extentOverlapJoin(a, "aid", b, "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ai, a0, a1, a2, a3) <- aSeq
+      (bi, b0, b1, b2, b3) <- bSeq
+      if a0 <= b2 && b0 <= a2 && a1 <= b3 && b1 <= a3
+    } yield (ai, bi)).toSet
+    assert(rows.toSet === expected)
+    assert(rows.length === expected.size, "a pair was emitted in more than one cell")
+    assert(expected.nonEmpty)
+  }
 }
