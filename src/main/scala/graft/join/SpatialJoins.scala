@@ -255,35 +255,6 @@ object SpatialJoins {
     * same grid-partitioned shuffle as kNN/PIP — never a cross join; hot
     * cells salt like any other cell-equi join.
     */
-  /** Extent-overlap (rectangle-intersection) join for two BIG extent tables
-    * — the exact-geometry complement of the q49 tile bridge (which joins in
-    * rolled-up tile space). Both sides explode to their zoom-z cover cells
-    * (the Tiler's generator), cell-equi join on the grid, exact closed
-    * rect-overlap residual, and pairs that meet in several shared cells are
-    * deduplicated WITHOUT a distinct shuffle: a pair is emitted only in its
-    * REPORTING CELL — the cell containing the overlap region's min corner
-    * (PBSM's reporting-point dedup, Patel & DeWitt SIGMOD'96, public). The
-    * corner (max of min_lons, max of min_lats) lies inside both rects, so
-    * its cell is in both covers and every overlapping pair meets there
-    * exactly once; the codegen'd CellEncode recomputes it with the same
-    * floor+clamp as the cover, so boundary corners agree by construction.
-    */
-  def extentOverlapJoin(a: DataFrame, aId: String, b: DataFrame, bId: String,
-                        zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
-    def prep(df: DataFrame, id: String, p: String): DataFrame =
-      df.filter(col("min_lon").isNotNull)
-        .select(col(id), col("min_lon").as(s"${p}0"), col("min_lat").as(s"${p}1"),
-          col("max_lon").as(s"${p}2"), col("max_lat").as(s"${p}3"))
-        .withColumn("cell", explode(graft.tiles.Tiler.coverUdf(
-          col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), lit(zoom))))
-    prep(a, aId, "a").join(prep(b, bId, "b"), Seq("cell"))
-      .filter(col("a0") <= col("b2") && col("b0") <= col("a2") &&
-        col("a1") <= col("b3") && col("b1") <= col("a3"))
-      .filter(graft.functions.CellEncode(
-        greatest(col("a1"), col("b1")), greatest(col("a0"), col("b0")), zoom) === col("cell"))
-      .select(col(aId), col(bId))
-  }
-
   def distanceJoin(queries: DataFrame, points: DataFrame, radiusDeg: Double,
                    zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
     require(radiusDeg > 0, s"radius must be positive, got $radiusDeg")
@@ -309,5 +280,38 @@ object SpatialJoins {
           (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
       .filter(col("dist2") <= lit(r2))
       .select(col("qid"), col("pid"), col("dist2"))
+  }
+
+  /** Extent-overlap (rectangle-intersection) join for two BIG extent tables
+    * — the exact-geometry complement of the q49 tile bridge (which joins in
+    * rolled-up tile space). Both sides explode to their zoom-z cover cells
+    * (the Tiler's generator), cell-equi join on the grid, exact closed
+    * rect-overlap residual, and pairs that meet in several shared cells are
+    * deduplicated WITHOUT a distinct shuffle: a pair is emitted only in its
+    * REPORTING CELL — the cell containing the overlap region's min corner
+    * (PBSM's reporting-point dedup, Patel & DeWitt SIGMOD'96, public). The
+    * corner (max of min_lons, max of min_lats) lies inside both rects, so
+    * its cell is in both covers and every overlapping pair meets there
+    * exactly once; the codegen'd CellEncode recomputes it with the same
+    * floor+clamp as the cover, so boundary corners agree by construction.
+    * For a self-join, alias one side's id column first — identical id names
+    * are rejected (the output would be ambiguous).
+    */
+  def extentOverlapJoin(a: DataFrame, aId: String, b: DataFrame, bId: String,
+                        zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
+    require(aId != bId,
+      s"id columns must have distinct names (got '$aId' twice) — alias one side for self-joins")
+    def prep(df: DataFrame, id: String, p: String): DataFrame =
+      df.filter(col("min_lon").isNotNull)
+        .select(col(id), col("min_lon").as(s"${p}0"), col("min_lat").as(s"${p}1"),
+          col("max_lon").as(s"${p}2"), col("max_lat").as(s"${p}3"))
+        .withColumn("cell", explode(graft.tiles.Tiler.coverUdf(
+          col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), lit(zoom))))
+    prep(a, aId, "a").join(prep(b, bId, "b"), Seq("cell"))
+      .filter(col("a0") <= col("b2") && col("b0") <= col("a2") &&
+        col("a1") <= col("b3") && col("b1") <= col("a3"))
+      .filter(graft.functions.CellEncode(
+        greatest(col("a1"), col("b1")), greatest(col("a0"), col("b0")), zoom) === col("cell"))
+      .select(col(aId), col(bId))
   }
 }
