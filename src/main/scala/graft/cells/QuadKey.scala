@@ -34,28 +34,28 @@ object QuadKey {
   /** Interleave x (even bits) and y (odd bits). */
   def morton(x: Int, y: Int): Long = split(x) | (split(y) << 1)
 
+  // Constant-time Morton spread/compact (the standard parallel-prefix bit
+  // twiddles) — replaces the former bit-by-bit loops on the per-row hot path
+  // (CellEncode runs one morton per corpus row). Bit i ↔ bit 2i exactly as
+  // before; property-tested round-trip in QuadKeySpec.
   private def split(v: Int): Long = {
-    var r = 0L
-    var i = 0
-    var in = v.toLong & 0x3fffffffL
-    while (in != 0) {
-      if ((in & 1L) != 0) r |= (1L << (2 * i))
-      in >>>= 1
-      i += 1
-    }
-    r
+    var x = v.toLong & 0x3fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
   }
 
   private def compact(v: Long): Int = {
-    var r = 0
-    var i = 0
-    var in = v
-    while (in != 0) {
-      if ((in & 1L) != 0) r |= (1 << i)
-      in >>>= 2
-      i += 1
-    }
-    r
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x >>> 4)) & 0x00ff00ff00ff00ffL
+    x = (x | (x >>> 8)) & 0x0000ffff0000ffffL
+    x = (x | (x >>> 16)) & 0x00000000ffffffffL
+    x.toInt
   }
 
   def encodeXY(x: Int, y: Int, z: Int): Long = (1L << (2 * z)) | morton(x, y)

@@ -169,6 +169,7 @@ object SpatialJoins {
     var remaining = queries
     var r = 1
     var acc: DataFrame = null
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val maxR = (1 << zoom) // disk covers the world → guaranteed final
     while (remaining.nonEmpty && r <= maxR) {
       val cellMap = remaining.flatMap { case (qid, qlon, qlat) =>
@@ -186,9 +187,15 @@ object SpatialJoins {
             (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("dist2").asc, col("pid").asc)
+      // topk is ≤ k·|remaining| rows — cache it so the perQ collect below and
+      // the `done` slice feeding the result read it once; without the cache
+      // the broadcast-join + window pass over the corpus ran TWICE per round
+      // (once for the certification collect, once when the result
+      // materialized). Values are unchanged — the same plan, evaluated once.
       val topk = cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-        .select("qid", "rank", "pid", "dist2")
+        .select("qid", "rank", "pid", "dist2").cache()
+      roundCaches += topk
       val perQ = topk.groupBy("qid").agg(count(lit(1)).as("cnt"), max("dist2").as("kth")).collect()
         .map(row => (row.getLong(0), (row.getLong(1), row.getDouble(2)))).toMap
       // at the world-disk radius the candidate set IS the whole corpus, so a
@@ -212,7 +219,8 @@ object SpatialJoins {
         import spark.implicits._
         Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "pid", "dist2")
       }
-    out.count() // materialize before releasing the corpus cache
+    out.count() // materialize before releasing the corpus + per-round caches
+    roundCaches.foreach(_.unpersist(false))
     pts.unpersist()
     out
   }

@@ -25,6 +25,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Media {
 
+  // ImageIO defaults to a disk-backed stream cache: every ImageIO.read
+  // creates (and deletes) a temp FILE before decoding — pure per-row I/O
+  // overhead on the q39 decode path. The memory cache decodes byte-identically.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
                             width: Int, height: Int, format: String)
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -93,12 +98,17 @@ object Media {
   def imageFeatures(bytes: Array[Byte]): Array[Double] = {
     val img = decodePng(bytes)
     val r = img.getRaster
+    val w = img.getWidth
     var sum = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+    // bulk per-row sample fetch (one raster call per row instead of one per
+    // pixel); accumulation order (x inner, y outer) unchanged → identical sums
+    val row = new Array[Int](w)
     var y = 0
     while (y < img.getHeight) {
+      r.getSamples(0, y, w, 1, 0, row)
       var x = 0
-      while (x < img.getWidth) {
-        val v = r.getSample(x, y, 0).toDouble
+      while (x < w) {
+        val v = row(x).toDouble
         sum += v
         if (v < mn) mn = v
         if (v > mx) mx = v
@@ -106,7 +116,7 @@ object Media {
       }
       y += 1
     }
-    Array(sum, mn, mx, img.getWidth.toDouble, img.getHeight.toDouble)
+    Array(sum, mn, mx, w.toDouble, img.getHeight.toDouble)
   }
 
   /** Real image resize: decode, nearest-neighbor resample, re-encode PNG. */

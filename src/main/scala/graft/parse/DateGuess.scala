@@ -95,6 +95,44 @@ object DateGuess {
     t => t.length == 8 && sep(t, 2, '/') && sep(t, 5, '/'), // MM/dd/uu
     t => t.length == 19 && sep(t, 4, '.') && sep(t, 7, '.') && sep(t, 10, ' ')) // uuuu.MM.dd HH:mm:ss
 
+  // Digit-only fast path for the fixed-width all-numeric ladder entries
+  // (yPos, mPos, dPos char offsets). When every value position holds an ASCII
+  // digit, LocalDate.of applies EXACTLY the validation the STRICT formatter
+  // does (month 1-12, day valid for month/year), so the java.time parse —
+  // ~1.5 µs of formatter machinery per value on the kernel's hottest CSV
+  // branch — can be skipped with identical accept/reject behavior. Any value
+  // with a non-digit in a value position (e.g. a signed year, which uuuu can
+  // accept) falls through to the formatter unchanged.
+  private val fastYmd: Array[Array[Int]] = {
+    val a = new Array[Array[Int]](ladder.length)
+    a(2) = Array(0, 5, 8)   // uuuu/MM/dd
+    a(3) = Array(0, 5, 8)   // uuuu-MM-dd
+    a(4) = Array(6, 3, 0)   // dd/MM/uuuu
+    a(5) = Array(6, 3, 0)   // dd-MM-uuuu
+    a(6) = Array(6, 0, 3)   // MM/dd/uuuu
+    a(7) = Array(6, 0, 3)   // MM-dd-uuuu
+    a(8) = Array(0, 4, 6)   // uuuuMMdd
+    a(9) = Array(6, 3, 0)   // dd.MM.uuuu
+    a(10) = Array(0, 5, 8)  // uuuu.MM.dd
+    a
+  }
+  private def dig2(t: String, i: Int): Int = {
+    val a = t.charAt(i); val b = t.charAt(i + 1)
+    if (a < '0' || a > '9' || b < '0' || b > '9') -1 else (a - '0') * 10 + (b - '0')
+  }
+  private def dig4(t: String, i: Int): Int = {
+    val hi = dig2(t, i); val lo = dig2(t, i + 2)
+    if (hi < 0 || lo < 0) -1 else hi * 100 + lo
+  }
+  /** 1 = parses, 0 = definitively rejected, -1 = not fast-pathable. */
+  private def fastProbe(idx: Int, t: String): Int = {
+    val pos = fastYmd(idx)
+    if (pos == null) return -1
+    val y = dig4(t, pos(0)); val m = dig2(t, pos(1)); val d = dig2(t, pos(2))
+    if (y < 0 || m < 0 || d < 0) return -1
+    try { LocalDate.of(y, m, d); 1 } catch { case _: java.time.DateTimeException => 0 }
+  }
+
   /** First ladder format that parses the sample value, as a ladder index. */
   def guessFormat(sample: String): Option[Int] = {
     if (sample == null) return None
@@ -103,10 +141,15 @@ object DateGuess {
     var i = 0
     while (i < ladder.length) {
       if (shapes(i)(t)) {
-        try {
-          ladder(i)._1.parse(t)
-          return Some(i)
-        } catch { case _: Exception => }
+        fastProbe(i, t) match {
+          case 1 => return Some(i)
+          case 0 => // definitive reject; next ladder entry
+          case _ =>
+            try {
+              ladder(i)._1.parse(t)
+              return Some(i)
+            } catch { case _: Exception => }
+        }
       }
       i += 1
     }
@@ -116,7 +159,14 @@ object DateGuess {
   def parseWith(idx: Int, value: String): Option[LocalDate] = {
     val (f, hasDate) = ladder(idx)
     if (!hasDate) return None
-    try Some(LocalDate.from(f.parse(value.trim)))
+    val t = value.trim
+    val pos = fastYmd(idx)
+    if (pos != null && shapes(idx)(t)) {
+      val y = dig4(t, pos(0)); val m = dig2(t, pos(1)); val d = dig2(t, pos(2))
+      if (y >= 0 && m >= 0 && d >= 0)
+        return try Some(LocalDate.of(y, m, d)) catch { case _: java.time.DateTimeException => None }
+    }
+    try Some(LocalDate.from(f.parse(t)))
     catch { case _: Exception => None }
   }
 

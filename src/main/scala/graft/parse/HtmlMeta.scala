@@ -30,9 +30,24 @@ object HtmlMeta {
   final case class HtmlResult(extent: Option[Extent], spatialSource: Option[String],
                               tbox: Option[(String, String)], temporalSource: Option[String])
 
-  def looksLikeHtml(s: String): Boolean = {
-    val t = s.take(4096).toLowerCase
-    t.contains("<html") || t.contains("<head") || t.contains("<meta") || t.contains("<!doctype html")
+  def looksLikeHtml(s: String): Boolean =
+    headContainsIc(s, "<html") || headContainsIc(s, "<head") ||
+      headContainsIc(s, "<meta") || headContainsIc(s, "<!doctype html")
+
+  /** Case-insensitive bounded search replacing take(4096).toLowerCase.contains
+    * without the two head-sized copies. regionMatches(true) folds per char
+    * with toUpperCase-then-toLowerCase, which accepts every char toLowerCase
+    * maps onto these ASCII needles (the needles contain no char produced by a
+    * multi-char lowercase expansion), so acceptance is unchanged.
+    */
+  private def headContainsIc(s: String, needle: String): Boolean = {
+    val max = math.min(s.length, 4096) - needle.length
+    var i = 0
+    while (i <= max) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+      i += 1
+    }
+    false
   }
 
   private val jsonLdScript =
@@ -59,17 +74,28 @@ object HtmlMeta {
       .replace("&#39;", "'").replace("&apos;", "'").replace("&amp;", "&")
 
   def extract(html: String): HtmlResult = {
-    val blocks = jsonLdScript.findAllMatchIn(html).flatMap(m => GeoJson.parseJson(m.group(1))).toSeq
-    val metas = metaTags(html)
-    val spatial = resolveSpatial(blocks, metas)
-    val temporal = resolveTemporal(blocks, metas)
+    // indexOf gate: the script-tag regex requires the literal "ld+json", so a
+    // page without it can't yield blocks — skip the full-page regex scan
+    val blocks =
+      if (html.indexOf("ld+json") < 0) Seq.empty[JsonNode]
+      else jsonLdScript.findAllMatchIn(html).flatMap(m => GeoJson.parseJson(m.group(1))).toSeq
+    // meta tags are scanned LAZILY: a page whose JSON-LD resolves both ladder
+    // steps 1 (spatial) and temporal never pays the full-page meta-tag regex
+    var metasCache: Seq[(String, String, String)] = null
+    def metas(): Seq[(String, String, String)] = {
+      if (metasCache == null) metasCache = metaTags(html)
+      metasCache
+    }
+    val spatial = resolveSpatial(blocks, metas _)
+    val temporal = resolveTemporal(blocks, metas _)
     HtmlResult(spatial.map(_._1), spatial.map(_._2), temporal.map(_._1), temporal.map(_._2))
   }
 
   // ---- spatial ladder ----
 
   private def resolveSpatial(blocks: Seq[JsonNode],
-                             metas: Seq[(String, String, String)]): Option[(Extent, String)] = {
+                             metasF: () => Seq[(String, String, String)]): Option[(Extent, String)] = {
+    lazy val metas = metasF()
     // 1. JSON-LD
     jsonLdExtent(blocks).foreach(e => return Some((e, "jsonld")))
     // 3. DC.SpatialCoverage GeoJSON
@@ -276,7 +302,8 @@ object HtmlMeta {
   // ---- temporal ----
 
   private def resolveTemporal(blocks: Seq[JsonNode],
-                              metas: Seq[(String, String, String)]): Option[((String, String), String)] = {
+                              metasF: () => Seq[(String, String, String)]): Option[((String, String), String)] = {
+    lazy val metas = metasF()
     // 1. JSON-LD temporalCoverage (ISO interval "start/end" or single date)
     def iterNodes(n: JsonNode): Iterator[JsonNode] =
       if (n == null) Iterator.empty

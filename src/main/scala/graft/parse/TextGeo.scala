@@ -93,6 +93,20 @@ object TextGeo {
 
   def looksLikeText(s: String): Boolean = !s.trim.startsWith("<") && !s.trim.startsWith("{")
 
+  /** Case-insensitive substring test (gate use only: regionMatches(true) folds
+    * a SUPERSET of the regexes' ASCII-only (?i), so a gate pass never skips a
+    * text the regex would have matched).
+    */
+  private def containsIgnoreCase(text: String, needle: String): Boolean = {
+    val max = text.length - needle.length
+    var i = 0
+    while (i <= max) {
+      if (text.regionMatches(true, i, needle, 0, needle.length)) return true
+      i += 1
+    }
+    false
+  }
+
   def extract(raw: String): TextResult = extract(raw, "drop")
 
   def extract(raw: String, ambiguity: String): TextResult = {
@@ -115,32 +129,6 @@ object TextGeo {
     val places = ArrayBuffer.empty[Span]
     val points = ArrayBuffer.empty[(Double, Double)]
     val pts = ArrayBuffer.empty[Double]
-    for (m <- placeToken.findAllMatchIn(text);
-         surfaces <- GazetteerTable.byFirstToken.get(m.matched)
-         // the regex class is ASCII, so a run can start right after a
-         // non-ASCII LETTER ("caféParis") — the old sweep's Unicode
-         // word-boundary check must be re-applied on the preceding char
-         if m.start == 0 || !text.charAt(m.start - 1).isLetter) {
-      val start = m.start
-      surfaces.find { name =>
-        text.regionMatches(start, name, 0, name.length) &&
-          (start + name.length >= text.length || !text.charAt(start + name.length).isLetter)
-      }.foreach { name =>
-        places += Span(name, start, start + name.length)
-        resolvePlace(name, ambiguity).foreach { case (lat, lon) =>
-          points += ((lon, lat))
-          pts += lon; pts += lat
-        }
-      }
-    }
-    val extent = Geo.envelope(pts.toArray)
-
-    // periods: one token-indexed pass against the full ICS table — each word
-    // token does a single hash lookup, then candidate surfaces (longest first)
-    // are verified in place; the PhraseMatcher analog of reference
-    // ner.py:110-141 without 178 indexOf passes per page. Span.value is the
-    // canonical period name; offsets cover the matched surface (incl. aliases
-    // like "Late Cretaceous Epoch").
     val periodSpans = ArrayBuffer.empty[Span]
     var tStart: String = null
     var tEnd: String = null
@@ -148,22 +136,52 @@ object TextGeo {
       tStart = SignedIso.min(tStart, s)
       tEnd = SignedIso.max(tEnd, e)
     }
-    val wordToken = "[A-Za-z]+".r
-    for (m <- wordToken.findAllMatchIn(text); surfaces <- PeriodTable.byFirstToken.get(m.matched)) {
+    // ONE shared token pass feeds both the gazetteer and the period
+    // PhraseMatcher (they consumed identical "[A-Za-z]+" token streams in two
+    // separate regex scans before; the lookups are independent, so fusing the
+    // scans is result-invariant and halves the token-iteration cost of the
+    // q01 hot path).
+    for (m <- placeToken.findAllMatchIn(text)) {
       val start = m.start
-      surfaces.find { surf =>
-        text.regionMatches(start, surf, 0, surf.length) &&
-          (start + surf.length >= text.length || !text.charAt(start + surf.length).isLetter)
-      }.foreach { surf =>
-        val end = start + surf.length
-        if (!periodSpans.exists(sp => start < sp.charEnd && end > sp.charStart)) {
-          val canonical = PeriodTable.surfaceToCanonical(surf)
-          periodSpans += Span(canonical, start, end)
-          val (s, e) = PeriodTable.envelope(canonical)
-          fold(s, e)
+      val tok = m.matched
+      // places: the regex class is ASCII, so a run can start right after a
+      // non-ASCII LETTER ("caféParis") — the old sweep's Unicode
+      // word-boundary check must be re-applied on the preceding char
+      if (start == 0 || !text.charAt(start - 1).isLetter)
+        for (surfaces <- GazetteerTable.byFirstToken.get(tok)) {
+          surfaces.find { name =>
+            text.regionMatches(start, name, 0, name.length) &&
+              (start + name.length >= text.length || !text.charAt(start + name.length).isLetter)
+          }.foreach { name =>
+            places += Span(name, start, start + name.length)
+            resolvePlace(name, ambiguity).foreach { case (lat, lon) =>
+              points += ((lon, lat))
+              pts += lon; pts += lat
+            }
+          }
+        }
+      // periods: one token-indexed pass against the full ICS table — each
+      // word token does a single hash lookup, then candidate surfaces
+      // (longest first) are verified in place; the PhraseMatcher analog of
+      // reference ner.py:110-141 without 178 indexOf passes per page.
+      // Span.value is the canonical period name; offsets cover the matched
+      // surface (incl. aliases like "Late Cretaceous Epoch").
+      for (surfaces <- PeriodTable.byFirstToken.get(tok)) {
+        surfaces.find { surf =>
+          text.regionMatches(start, surf, 0, surf.length) &&
+            (start + surf.length >= text.length || !text.charAt(start + surf.length).isLetter)
+        }.foreach { surf =>
+          val end = start + surf.length
+          if (!periodSpans.exists(sp => start < sp.charEnd && end > sp.charStart)) {
+            val canonical = PeriodTable.surfaceToCanonical(surf)
+            periodSpans += Span(canonical, start, end)
+            val (s, e) = PeriodTable.envelope(canonical)
+            fold(s, e)
+          }
         }
       }
     }
+    val extent = Geo.envelope(pts.toArray)
 
     // dates: a priority-ordered mention scan — explicit/calendar shapes first,
     // ranges (incl. month ranges with year-context inheritance and -/–/— year
@@ -180,40 +198,57 @@ object TextGeo {
       dateSpans += Span(m.matched, m.start, m.end)
       fold(env._1, env._2)
     }
-    for (m <- isoDate.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
-      claim(m, (m.matched, m.matched))
-    for (m <- betweenRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
-      claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
-    for (m <- monthRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
-      // "January to March 2024": the left month inherits the right year
-      val y = m.group(3).toInt
-      val m1 = monthNum(m.group(1).toLowerCase)
-      val m2 = monthNum(m.group(2).toLowerCase)
-      claim(m, (monthEnvelope(y, m1)._1, monthEnvelope(y, m2)._2))
+    // cheap NECESSARY-condition gates before the regex passes: every date
+    // pattern (incl. bare year / decade / century) requires at least one
+    // digit, and the four month-name patterns require a month-name substring
+    // — a text failing a gate can't match, so skipping the pass is
+    // result-invariant. A no-digit page (the plain-text corpus family) skips
+    // all ten passes for the cost of one char scan.
+    var hasDigit = false
+    var di = 0
+    while (di < text.length && !hasDigit) {
+      val c = text.charAt(di); if (c >= '0' && c <= '9') hasDigit = true; di += 1
     }
-    for (m <- yearRangeDash.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
-      claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
-    for (m <- monthDayYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
-      val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(1).toLowerCase)}%02d-${m.group(2).toInt}%02d"
-      claim(m, (d0, d0))
-    }
-    for (m <- dayMonthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
-      val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(2).toLowerCase)}%02d-${m.group(1).toInt}%02d"
-      claim(m, (d0, d0))
-    }
-    for (m <- monthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
-      claim(m, monthEnvelope(m.group(2).toInt, monthNum(m.group(1).toLowerCase)))
-    for (m <- decade.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
-      claim(m, (s"${m.group(1)}0-01-01", s"${m.group(1)}9-12-31"))
-    for (m <- century.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
-      val c = m.group(1).toInt
-      claim(m, (f"${(c - 1) * 100 + 1}%04d-01-01", f"${c * 100}%04d-12-31"))
-    }
-    if (dateSpans.isEmpty && periodSpans.isEmpty) {
-      // bare years only when no richer entity matched (mirrors the reference's
-      // entity precedence: a year inside a matched date/range is not re-counted)
-      for (m <- bareYear.findAllMatchIn(text)) {
-        claim(m, (f"${m.group(1).toInt}%04d-01-01", f"${m.group(1).toInt}%04d-12-31"))
+    lazy val hasMonthName = monthNames.exists(mn => containsIgnoreCase(text, mn))
+    if (hasDigit) {
+      for (m <- isoDate.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+        claim(m, (m.matched, m.matched))
+      for (m <- betweenRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+        claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
+      if (hasMonthName)
+        for (m <- monthRange.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+          // "January to March 2024": the left month inherits the right year
+          val y = m.group(3).toInt
+          val m1 = monthNum(m.group(1).toLowerCase)
+          val m2 = monthNum(m.group(2).toLowerCase)
+          claim(m, (monthEnvelope(y, m1)._1, monthEnvelope(y, m2)._2))
+        }
+      for (m <- yearRangeDash.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+        claim(m, (s"${m.group(1)}-01-01", s"${m.group(2)}-12-31"))
+      if (hasMonthName) {
+        for (m <- monthDayYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+          val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(1).toLowerCase)}%02d-${m.group(2).toInt}%02d"
+          claim(m, (d0, d0))
+        }
+        for (m <- dayMonthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+          val d0 = f"${m.group(3).toInt}%04d-${monthNum(m.group(2).toLowerCase)}%02d-${m.group(1).toInt}%02d"
+          claim(m, (d0, d0))
+        }
+        for (m <- monthYear.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+          claim(m, monthEnvelope(m.group(2).toInt, monthNum(m.group(1).toLowerCase)))
+      }
+      for (m <- decade.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
+        claim(m, (s"${m.group(1)}0-01-01", s"${m.group(1)}9-12-31"))
+      for (m <- century.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end)) {
+        val c = m.group(1).toInt
+        claim(m, (f"${(c - 1) * 100 + 1}%04d-01-01", f"${c * 100}%04d-12-31"))
+      }
+      if (dateSpans.isEmpty && periodSpans.isEmpty) {
+        // bare years only when no richer entity matched (mirrors the reference's
+        // entity precedence: a year inside a matched date/range is not re-counted)
+        for (m <- bareYear.findAllMatchIn(text)) {
+          claim(m, (f"${m.group(1).toInt}%04d-01-01", f"${m.group(1).toInt}%04d-12-31"))
+        }
       }
     }
 

@@ -24,15 +24,20 @@ object XmlGeo {
   private val whenTag = "(?s)<when>(.*?)</when>".r
   private val timeTag = "(?s)<time>(.*?)</time>".r
 
-  def looksLikeKml(s: String): Boolean = {
-    val t = s.take(4096)
-    t.contains("<kml") || (t.contains("<Placemark") && t.contains("<coordinates>"))
+  /** take(4096).contains(needle) without the up-to-8KB substring copy: true
+    * iff an occurrence lies entirely within the first 4096 chars (if the
+    * FIRST occurrence ends past the bound, every later one does too).
+    */
+  private[parse] def containsHead(s: String, needle: String): Boolean = {
+    val i = s.indexOf(needle)
+    i >= 0 && i + needle.length <= 4096
   }
-  def looksLikeGpx(s: String): Boolean = s.take(4096).contains("<gpx")
-  def looksLikeGml(s: String): Boolean = {
-    val t = s.take(4096)
-    t.contains("<gml:") || t.contains("FeatureCollection xmlns:gml")
-  }
+
+  def looksLikeKml(s: String): Boolean =
+    containsHead(s, "<kml") || (containsHead(s, "<Placemark") && containsHead(s, "<coordinates>"))
+  def looksLikeGpx(s: String): Boolean = containsHead(s, "<gpx")
+  def looksLikeGml(s: String): Boolean =
+    containsHead(s, "<gml:") || containsHead(s, "FeatureCollection xmlns:gml")
 
   def kmlCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
@@ -69,10 +74,9 @@ object XmlGeo {
     * over all node coordinates IS the layer envelope; `<bounds>` boxes, when
     * present, widen it the same way OGR's spatial filter reports them.
     */
-  def looksLikeOsm(s: String): Boolean = {
-    val t = s.take(4096)
-    t.contains("<osm") && (t.contains("generator=") || t.contains("<node") || t.contains("<way"))
-  }
+  def looksLikeOsm(s: String): Boolean =
+    containsHead(s, "<osm") &&
+      (containsHead(s, "generator=") || containsHead(s, "<node") || containsHead(s, "<way"))
 
   private val osmNode = """<node\s+[^>]*>""".r
   private val osmBounds = """<bounds\s+[^>]*>""".r

@@ -34,29 +34,65 @@ object TextOps {
     h
   }
 
+  // the "\\s+" split pattern, compiled once — String.split re-compiles any
+  // multi-char regex on every call, and the tokenizer sits on the per-doc
+  // hot path of every shingle/simhash operator
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** FNV-1a over the space-joined tokens [from, from+k) — byte-identical to
+    * fnv1a(toks.slice(from, from+k).mkString(" ")) without materializing the
+    * shingle string (one fewer allocation per shingle on the q23/q85 kernel).
+    */
+  private def fnvJoined(toks: Array[String], from: Int, k: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = from
+    val end = from + k
+    while (t < end) {
+      if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val s = toks(t)
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      t += 1
+    }
+    h
+  }
+
   /** Word 3-shingle hash set of a document (lowercased, whitespace tokens). */
   def shingleHashes(text: String, k: Int = 3): Array[Long] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < k) return if (toks.isEmpty) Array.empty else Array(fnv1a(toks.mkString(" ")))
+    val toks = WsPattern.split(text.toLowerCase).filter(_.nonEmpty)
+    if (toks.length < k) return if (toks.isEmpty) Array.empty else Array(fnvJoined(toks, 0, toks.length))
     val out = new Array[Long](toks.length - k + 1)
     var i = 0
     while (i + k <= toks.length) {
-      out(i) = fnv1a(toks.slice(i, i + k).mkString(" "))
+      out(i) = fnvJoined(toks, i, k)
       i += 1
     }
     out.distinct
   }
 
+  // MinHash permutation coefficients, derived once per signature width — the
+  // old per-document derivation re-hashed 2·numHashes format strings per doc
+  // (128 string builds + FNV passes per document at the default 64 lanes),
+  // dwarfing the actual min-scan for short documents
+  private val mhCoefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def mhCoefs(numHashes: Int): (Array[Long], Array[Long]) =
+    mhCoefCache.computeIfAbsent(numHashes, n => {
+      val a = Array.tabulate(n)(j => fnv1a(s"minhash-a-$j") | 1L)
+      val b = Array.tabulate(n)(j => fnv1a(s"minhash-b-$j"))
+      (a, b)
+    })
+
   /** MinHash signature: numHashes permutations h_i(x) = (a_i·x + b_i) mod p with
     * fixed seeds (deterministic — no Math.random, per harness contract).
     */
   def minhash(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val (as, bs) = mhCoefs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < numHashes) {
-      val a = fnv1a(s"minhash-a-$j") | 1L
-      val b = fnv1a(s"minhash-b-$j")
+      val a = as(j)
+      val b = bs(j)
       var i = 0
       var mn = Long.MaxValue
       while (i < shingles.length) {
@@ -197,7 +233,7 @@ object TextOps {
   def simhash(text: String): Long = {
     if (text == null) return 0L
     val counts = new Array[Int](64)
-    for (tok <- text.toLowerCase.split("\\s+") if tok.nonEmpty) {
+    for (tok <- WsPattern.split(text.toLowerCase) if tok.nonEmpty) {
       val h = fnv1a(tok)
       var b = 0
       while (b < 64) {
