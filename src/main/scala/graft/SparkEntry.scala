@@ -1306,7 +1306,11 @@ object SparkEntry {
         val (x0, y0, _, _) = Pages.polyBounds(n)
         (n, x0 + 12.0, y0 + 9.0)
       }.toDF("qid", "qlon", "qlat")
-      join.SpatialJoins.distanceJoin(qs, pts, radiusDeg = 6.0)
+      // skew-aware: the planted 20%-hot location makes one grid cell own a
+      // fifth of the corpus — the Misra–Gries detector measures it and the
+      // hot cell's candidates fan out over salted reducers; the result set
+      // is identical to the unsalted join (JoinsSpec property)
+      join.SpatialJoins.distanceJoinSkewAware(qs, pts, radiusDeg = 6.0)
     }),
 
     // big×big extent-overlap join (join.SpatialJoins.extentOverlapJoin):
@@ -1326,7 +1330,10 @@ object SparkEntry {
       val rext = graft.table.RasterTable.extents(graft.table.RasterTable.rasters(s, dir))
         .filter(col("raster_id") % 97 === 0)
         .select(col("raster_id"), col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
-      join.SpatialJoins.extentOverlapJoin(pext, "doc_id", rext, "raster_id")
+      // skew-aware (VERDICT r5 task 3): detector → salt factor → salted
+      // cover-cell join; the planted hot cell fans out, the pair set is
+      // unchanged (salting commutes with the residual + reporting-cell dedup)
+      join.SpatialJoins.extentOverlapJoinSkewAware(pext, "doc_id", rext, "raster_id")
         .select(col("doc_id"), col("raster_id").cast("long").as("raster_id"))
     }),
   )

@@ -264,7 +264,8 @@ object SpatialJoins {
     * cells salt like any other cell-equi join.
     */
   def distanceJoin(queries: DataFrame, points: DataFrame, radiusDeg: Double,
-                   zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
+                   zoom: Int = graft.table.Pages.JoinZoom + 3,
+                   cellSalts: Map[Long, Int] = Map.empty): DataFrame = {
     require(radiusDeg > 0, s"radius must be positive, got $radiusDeg")
     val r2 = radiusDeg * radiusDeg
     val pts = points.select(col("pid"), col("lon"), col("lat"),
@@ -282,12 +283,57 @@ object SpatialJoins {
     })
     val q = queries.select(col("qid"), col("qlon"), col("qlat"))
       .withColumn("cell", explode(diskUdf(col("qlat"), col("qlon"))))
-    pts.join(q, Seq("cell"))
+    // per-hot-cell salting (detector-driven, see distanceJoinSkewAware): the
+    // point side salts deterministically by its row key, the (small) query
+    // side replicates only for the hot cells — a pair (q,p) sharing cell c
+    // meets exactly once at salt hash(pid) % salts(c), so the result set is
+    // identical to the unsalted join (JoinsSpec property) while a hot cell's
+    // candidates fan out over salts(c) reducers instead of one.
+    val joined =
+      if (cellSalts.isEmpty) pts.join(q, Seq("cell"))
+      else {
+        val nOf: Column => Column =
+          c => coalesce(element_at(typedLit(cellSalts), c), lit(1))
+        val ptsS = pts.withColumn("_salt", pmod(hash(col("pid")), nOf(col("cell"))))
+        val qS = q.withColumn("_salt", explode(sequence(lit(0), nOf(col("cell")) - 1)))
+        ptsS.join(qS, Seq("cell", "_salt")).drop("_salt")
+      }
+    joined
       .withColumn("dist2",
         (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
           (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
       .filter(col("dist2") <= lit(r2))
       .select(col("qid"), col("pid"), col("dist2"))
+  }
+
+  /** Detector → salt-factor → salted grid join (the skew wiring): runs the
+    * exact Misra–Gries heavy-hitter detector over the point side's cell ids
+    * (never shuffles the full key set) and salts every cell whose share
+    * exceeds 1/(k+1) proportionally to its share of the parallelism. With no
+    * hot cell this is byte-for-byte the plain [[distanceJoin]] plan.
+    */
+  def distanceJoinSkewAware(queries: DataFrame, points: DataFrame, radiusDeg: Double,
+                            zoom: Int = graft.table.Pages.JoinZoom + 3,
+                            k: Int = 32, maxSalts: Int = 64): DataFrame = {
+    val cells = points.select(
+      graft.functions.CellEncode(col("lat"), col("lon"), zoom).as("cell"))
+    distanceJoin(queries, points, radiusDeg, zoom,
+      hotCellSalts(cells, k, maxSalts))
+  }
+
+  /** Hot cover cells → salt factors: share-proportional spread, bounded.
+    * A cell owning share s of the rows fans out over ~s·parallelism reducers
+    * (at least 2, at most `maxSalts`).
+    */
+  private[graft] def hotCellSalts(cells: DataFrame, k: Int, maxSalts: Int): Map[Long, Int] = {
+    val par = cells.sparkSession.sparkContext.defaultParallelism
+    graft.operators.HeavyHitters.heavyHitters(cells, col("cell"), k)
+      .collect()
+      .map { r =>
+        val cnt = r.getLong(1); val n = math.max(1L, r.getLong(2))
+        r.getLong(0) -> math.min(maxSalts,
+          math.max(2, math.ceil(cnt.toDouble * par / n).toInt))
+      }.toMap
   }
 
   /** Extent-overlap (rectangle-intersection) join for two BIG extent tables
@@ -306,20 +352,52 @@ object SpatialJoins {
     * are rejected (the output would be ambiguous).
     */
   def extentOverlapJoin(a: DataFrame, aId: String, b: DataFrame, bId: String,
-                        zoom: Int = graft.table.Pages.JoinZoom + 3): DataFrame = {
+                        zoom: Int = graft.table.Pages.JoinZoom + 3,
+                        cellSalts: Map[Long, Int] = Map.empty): DataFrame = {
     require(aId != bId,
       s"id columns must have distinct names (got '$aId' twice) — alias one side for self-joins")
-    def prep(df: DataFrame, id: String, p: String): DataFrame =
-      df.filter(col("min_lon").isNotNull)
-        .select(col(id), col("min_lon").as(s"${p}0"), col("min_lat").as(s"${p}1"),
-          col("max_lon").as(s"${p}2"), col("max_lat").as(s"${p}3"))
-        .withColumn("cell", explode(graft.tiles.Tiler.coverUdf(
-          col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), lit(zoom))))
-    prep(a, aId, "a").join(prep(b, bId, "b"), Seq("cell"))
+    val pa = coverPrep(a, aId, "a", zoom)
+    val pb = coverPrep(b, bId, "b", zoom)
+    // per-hot-cell salting (detector-driven, see extentOverlapJoinSkewAware):
+    // the a side salts deterministically by its id, the b side replicates its
+    // hot-cell cover rows salts(c) times. Salting commutes with the rect
+    // residual AND the reporting-cell filter — both are pure per-pair
+    // predicates, and a pair meeting in cell c meets exactly once at salt
+    // hash(aId) % salts(c) — so the output pair set is identical (JoinsSpec
+    // property) while the planted hot cell fans out over salts(c) reducers.
+    val joined =
+      if (cellSalts.isEmpty) pa.join(pb, Seq("cell"))
+      else {
+        val nOf: Column => Column =
+          c => coalesce(element_at(typedLit(cellSalts), c), lit(1))
+        val paS = pa.withColumn("_salt", pmod(hash(col(aId)), nOf(col("cell"))))
+        val pbS = pb.withColumn("_salt", explode(sequence(lit(0), nOf(col("cell")) - 1)))
+        paS.join(pbS, Seq("cell", "_salt")).drop("_salt")
+      }
+    joined
       .filter(col("a0") <= col("b2") && col("b0") <= col("a2") &&
         col("a1") <= col("b3") && col("b1") <= col("a3"))
       .filter(graft.functions.CellEncode(
         greatest(col("a1"), col("b1")), greatest(col("a0"), col("b0")), zoom) === col("cell"))
       .select(col(aId), col(bId))
   }
+
+  private def coverPrep(df: DataFrame, id: String, p: String, zoom: Int): DataFrame =
+    df.filter(col("min_lon").isNotNull)
+      .select(col(id), col("min_lon").as(s"${p}0"), col("min_lat").as(s"${p}1"),
+        col("max_lon").as(s"${p}2"), col("max_lat").as(s"${p}3"))
+      .withColumn("cell", explode(graft.tiles.Tiler.coverUdf(
+        col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), lit(zoom))))
+
+  /** Detector → salt-factor → salted cover-cell join (VERDICT r5 task 3
+    * wiring): the Misra–Gries detector measures the a side's cover-cell
+    * distribution (one narrow scan + a bounded verify scan — the full key
+    * set is never shuffled) and hot cells are salted share-proportionally.
+    * With no hot cell the plan is byte-for-byte the plain join.
+    */
+  def extentOverlapJoinSkewAware(a: DataFrame, aId: String, b: DataFrame, bId: String,
+                                 zoom: Int = graft.table.Pages.JoinZoom + 3,
+                                 k: Int = 32, maxSalts: Int = 64): DataFrame =
+    extentOverlapJoin(a, aId, b, bId, zoom,
+      hotCellSalts(coverPrep(a, aId, "a", zoom).select("cell"), k, maxSalts))
 }

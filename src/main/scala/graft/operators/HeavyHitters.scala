@@ -48,16 +48,24 @@ object HeavyHitters {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // defensively persist the projected key column for the duration of the
+    // two scans: the candidate-superset property assumes the input is
+    // deterministic under recomputation, which a general caller's source may
+    // not be — pinning the single-long column (evictable, spillable) makes
+    // the property hold unconditionally
     val keys = df.select(key.cast("long").as("key")).filter(col("key").isNotNull)
-    val candidates = mgCandidates(keys, k)
-    val counts = exactCounts(keys, candidates)
-      .collect() // bounded: ≤ candidates+1 rows
-    val nTotal = counts.iterator.map(_.getLong(1)).sum
-    val heavy = counts.iterator
-      .filter(r => !r.isNullAt(0) && r.getLong(1) * (k + 1L) > nTotal)
-      .map(r => (r.getLong(0), r.getLong(1), nTotal))
-      .toSeq.sortBy(_._1)
-    heavy.toDF("key", "cnt", "n_total")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candidates = mgCandidates(keys, k)
+      val counts = exactCounts(keys, candidates)
+        .collect() // bounded: ≤ candidates+1 rows
+      val nTotal = counts.iterator.map(_.getLong(1)).sum
+      val heavy = counts.iterator
+        .filter(r => !r.isNullAt(0) && r.getLong(1) * (k + 1L) > nTotal)
+        .map(r => (r.getLong(0), r.getLong(1), nTotal))
+        .toSeq.sortBy(_._1)
+      heavy.toDF("key", "cnt", "n_total")
+    } finally keys.unpersist(false)
   }
 
   /** Phase 1: per-partition Misra–Gries(k). Decrement-all is amortized O(1)

@@ -221,4 +221,52 @@ class JoinsSpec extends AnyFunSuite {
     assert(rows.length === expected.size, "a pair was emitted in more than one cell")
     assert(expected.nonEmpty)
   }
+
+  test("salted extentOverlapJoin / distanceJoin equal their unsalted plans; detector fires on the hot cell") {
+    // planted skew: 60% of the extents pile onto one location (one cover
+    // cell), the rest spread world-wide — the q87-shaped hot-cell scenario
+    val aSeq = (0 until 300).map { i =>
+      if (i % 5 < 3) (i.toLong, 7.5, 51.5, 8.0, 52.0) // hot
+      else {
+        val lon0 = ((i * 7919) % 3200) / 10.0 - 160.0
+        val lat0 = ((i * 104729) % 1300) / 10.0 - 70.0
+        (i.toLong, lon0, lat0, lon0 + 2.0, lat0 + 2.0)
+      }
+    }
+    val bSeq = (0 until 60).map { i =>
+      val lon0 = ((i * 37) % 320).toDouble - 165.0
+      val lat0 = ((i * 23) % 130).toDouble - 68.0
+      (1000L + i, math.min(lon0, 7.0), math.min(lat0, 51.0),
+        math.min(lon0, 7.0) + 12.0, math.min(lat0, 51.0) + 12.0)
+    }
+    val a = aSeq.toDF("aid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val b = bSeq.toDF("bid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val plain = SpatialJoins.extentOverlapJoin(a, "aid", b, "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val skewAware = SpatialJoins.extentOverlapJoinSkewAware(a, "aid", b, "bid")
+    val salted = skewAware.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.toSet === plain.toSet, "salting changed the pair set")
+    assert(salted.length === plain.length, "salting duplicated or dropped a pair")
+    // the detector must measure the planted hot cell and the salted plan must
+    // actually fan it out (salt expression present = hot cell spread over >1
+    // reducer instead of one)
+    val aCells = a.filter(col("min_lon").isNotNull)
+      .select(explode(graft.tiles.Tiler.coverUdf(col("min_lon"), col("min_lat"),
+        col("max_lon"), col("max_lat"), lit(graft.table.Pages.JoinZoom + 3))).as("cell"))
+    val salts = SpatialJoins.hotCellSalts(aCells, 32, 64)
+    assert(salts.nonEmpty, "detector missed the planted hot cell")
+    assert(salts.values.max > 1, "hot cell not fanned out")
+    assert(skewAware.queryExecution.executedPlan.toString.contains("pmod"),
+      "skew-aware plan does not carry the salt expression")
+
+    // distanceJoin: same equivalence under forced salts on every cell
+    val pts = randomPoints(2000, 31L).map(p => (p._1, 7.5 + (p._2 % 2) / 10.0, 51.5 + (p._3 % 2) / 10.0))
+      .toDF("pid", "lon", "lat")
+    val qs = Seq((1L, 7.5, 51.5), (2L, 8.0, 52.0), (3L, -170.0, -80.0)).toDF("qid", "qlon", "qlat")
+    val plainD = SpatialJoins.distanceJoin(qs, pts, radiusDeg = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val saltedD = SpatialJoins.distanceJoinSkewAware(qs, pts, radiusDeg = 1.0, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saltedD === plainD, "distance-join salting changed the result")
+  }
 }
