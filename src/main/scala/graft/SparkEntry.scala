@@ -1269,9 +1269,11 @@ object SparkEntry {
       table.ZOrder.writeClustered(ext, root, "zorder_extents",
         (col("min_lat") + col("max_lat")) / 2, (col("min_lon") + col("max_lon")) / 2,
         zoom = 12, partitions = 64)
-      val (rows, read, total) = table.ZOrder.readBbox(s, root, 0.0, 40.0, 20.0, 55.0)
-      require(read * 2 < total,
-        s"z-order manifest pruning ineffective: read $read of $total files")
+      // pruning EFFECTIVENESS (read*2 < total) is a performance property,
+      // asserted in ZOrderSpec — embedding it here made a partition-count or
+      // file-sizing change throw instead of surfacing as an oracle diff; the
+      // CORRECTNESS row verifies only output-invisibility of the pruned read
+      val (rows, _, _) = table.ZOrder.readBbox(s, root, 0.0, 40.0, 20.0, 55.0)
       rows.select(col("d").as("doc_id"),
         col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
     }),

@@ -439,9 +439,12 @@ object Dispatch {
     })
 
   private val github = Rung("GitHub", Nil, ref =>
-    // owner AND repo are both required (_GITHUB_URL_RE, GitHub.py:26-33) —
-    // a bare profile URL like github.com/solo is not a repository
-    if (matches("""^https?://github\.com/[^/]+/[^/]+""", ref))
+    // full mirror of _GITHUB_URL_RE (GitHub.py:26-38): owner AND repo
+    // required (a bare profile URL like github.com/solo is not a repository),
+    // optional .git suffix, optional /tree/ref[/path], trailing slash, END
+    // ANCHORED and case-insensitive — /blob/, /issues/ and other extra path
+    // shapes must NOT claim (they fall through like the reference's None)
+    if (matches("""(?i)^https?://github\.com/[^/]+/[^/]+?(?:\.git)?(?:/tree/[^/]+(?:/.+)?)?/?$""", ref))
       Some(PMatch("GitHub", Map.empty))
     else None)
 

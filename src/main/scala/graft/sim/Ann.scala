@@ -203,8 +203,18 @@ object Ann {
     * vectors only inside one codegen'd cosine filter, and the dominated set
     * is an id-only distinct.
     */
-  def semDedup(vectors: DataFrame, tau: Double, nCentroids: Int = 16): DataFrame = {
-    val assigned = ivfBuild(vectors, nCentroids).assigned // nid, v, ivf_cell
+  def semDedup(vectors: DataFrame, tau: Double, nCentroids: Int = 0): DataFrame = {
+    // nCentroids ≤ 0 derives ~√n from a cheap count (one column-pruned scan):
+    // the Σ cluster² self-join cost is then ~n·(n/√n)/√n = O(n) expected —
+    // the scale guidance the doc promised but nothing enforced. Callers with
+    // an explicit value (q79's oracle-pinned 16) are unchanged.
+    val k =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = vectors.count()
+        math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    val assigned = ivfBuild(vectors, k).assigned // nid, v, ivf_cell
     val l = assigned.select(col("ivf_cell"), col("nid").as("vec_a"), col("v").as("e_a"))
     val r = assigned.select(col("ivf_cell"), col("nid").as("vec_b"), col("v").as("e_b"))
     val dominated = l.join(r, Seq("ivf_cell"))

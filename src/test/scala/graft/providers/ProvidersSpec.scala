@@ -144,8 +144,10 @@ class ProvidersSpec extends AnyFunSuite {
     "STAC" -> (Seq("https://planetarycomputer.microsoft.com/api/stac/v1/collections/landsat-c2-l2",
       "https://api.stac.worldpop.org/collections/CHE", "https://example.com/stac/collections/foo") ->
       Seq("https://example.com/collections")),
-    "GitHub" -> (Seq("https://github.com/nuest/geoextent", "https://github.com/user/repo/tree/main/data") ->
-      Seq("https://github.com/solo")),
+    "GitHub" -> (Seq("https://github.com/nuest/geoextent", "https://github.com/user/repo/tree/main/data",
+      "https://github.com/user/repo.git", "https://GitHub.com/User/Repo/") ->
+      Seq("https://github.com/solo", "https://github.com/o/r/blob/main/x",
+        "https://github.com/o/r/issues/5")),
     "GitLab" -> (Seq("https://gitlab.com/user/project", "https://git.rwth-aachen.de/group/proj",
       "https://myhost-gitlab.example.org/grp/proj") -> Seq("https://gitlab.com/solo")),
     "Forgejo" -> (Seq("https://codeberg.org/user/repo") ->

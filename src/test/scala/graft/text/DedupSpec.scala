@@ -167,6 +167,26 @@ class DedupSpec extends AnyFunSuite {
     assert(large.map(sizes).min >= (sizes.keySet -- large).map(sizes).max)
   }
 
+  test("semDedup: derived centroid default scales ~sqrt(n) and bounds cluster-squared work") {
+    import spark.implicits._
+    val r = new java.util.Random(7L)
+    val n = 900
+    val emb = (0 until n).map(i =>
+      (i.toLong, Array.fill(8)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // derived default (nCentroids <= 0) must produce a full-coverage answer...
+    val kept = graft.sim.Ann.semDedup(emb, tau = 0.999)
+    assert(kept.count() === n)
+    // ...and the ~sqrt(n) centroid count bounds expected per-cluster size to
+    // ~sqrt(n): assert sum(cluster^2) stays well under the single-cluster n^2
+    // blowup the fixed-16 default would approach at scale
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val sizes = graft.sim.Ann.ivfBuild(emb, k).assigned
+      .groupBy("ivf_cell").count().collect().map(_.getLong(1))
+    val sumSq = sizes.map(s => s * s).sum
+    assert(sumSq < n.toLong * n / 4,
+      s"cluster-squared work $sumSq not bounded vs n^2=${n.toLong * n}")
+  }
+
   test("semDedup: identical and positively-scaled clones drop, distinct bases survive") {
     val dim = 16
     def vec(seed: Int): Array[Float] = {

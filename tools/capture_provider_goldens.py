@@ -137,6 +137,8 @@ IDENTIFIERS = [
     "https://api.stac.worldpop.org/collections/CHE",
     "https://example.com/stac/collections/foo",
     "https://github.com/nuest/geoextent", "https://github.com/user/repo/tree/main/data",
+    "https://github.com/user/repo.git", "https://GitHub.com/User/Repo/",
+    "https://github.com/o/r/blob/main/x", "https://github.com/o/r/issues/5",
     "https://gitlab.com/user/project", "https://git.rwth-aachen.de/group/proj",
     "https://myhost-gitlab.example.org/grp/proj", "https://codeberg.org/user/repo",
     "swh:1:dir:94a9ed024d3859793618152ea559a168bbcbb5e2",
