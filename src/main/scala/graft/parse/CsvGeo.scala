@@ -94,13 +94,30 @@ object CsvGeo {
     * delimiter sniffed from the header among [,;\t|] by max count
     * (reference sniffs via csv.Sniffer, geoextent/lib/helpfunctions.py:394-398).
     */
+  private val LineSplit = java.util.regex.Pattern.compile("\r?\n")
+
   def parseCsv(payload: String): Option[(Array[String], Array[Array[String]])] = {
-    val lines = payload.split("\r?\n").iterator
+    val lines = LineSplit.split(payload).iterator
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toArray
     if (lines.length < 2) return None
     val delim = Array(',', ';', '\t', '|').maxBy(d => lines(0).count(_ == d))
     if (lines(0).count(_ == delim) == 0) return None
     def splitLine(l: String): Array[String] = {
+      // quote-free fast path (the overwhelmingly common row shape): plain
+      // substring splits, no per-char StringBuilder — identical output to
+      // the quoted branch below when no '"' is present
+      if (l.indexOf('"') < 0) {
+        val out = ArrayBuffer.empty[String]
+        var start = 0
+        var i = l.indexOf(delim)
+        while (i >= 0) {
+          out += l.substring(start, i)
+          start = i + 1
+          i = l.indexOf(delim, start)
+        }
+        out += l.substring(start)
+        return out.toArray
+      }
       val out = ArrayBuffer.empty[String]
       val sb = new StringBuilder
       var inQ = false

@@ -93,15 +93,28 @@ object TextGeo {
 
   def looksLikeText(s: String): Boolean = !s.trim.startsWith("<") && !s.trim.startsWith("{")
 
-  /** Case-insensitive substring test (gate use only: regionMatches(true) folds
-    * a SUPERSET of the regexes' ASCII-only (?i), so a gate pass never skips a
-    * text the regex would have matched).
+  /** One-pass case-insensitive month-name presence gate (gate use only:
+    * regionMatches(true) folds a SUPERSET of the regexes' ASCII-only (?i), so
+    * a gate pass never skips a text the regex would have matched). A single
+    * scan keyed on month first letters replaces 12 separate substring scans.
     */
-  private def containsIgnoreCase(text: String, needle: String): Boolean = {
-    val max = text.length - needle.length
+  private val monthsByFirst: Map[Char, Seq[String]] = Seq("January", "February",
+    "March", "April", "May", "June", "July", "August", "September", "October",
+    "November", "December").groupBy(m => Character.toLowerCase(m.charAt(0)))
+  private def containsMonthName(text: String): Boolean = {
     var i = 0
-    while (i <= max) {
-      if (text.regionMatches(true, i, needle, 0, needle.length)) return true
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      if (c == 'j' || c == 'f' || c == 'm' || c == 'a' || c == 's' ||
+          c == 'o' || c == 'n' || c == 'd') {
+        val cands = monthsByFirst.getOrElse(c, Nil)
+        var k = 0
+        while (k < cands.length) {
+          val m = cands(k)
+          if (text.regionMatches(true, i, m, 0, m.length)) return true
+          k += 1
+        }
+      }
       i += 1
     }
     false
@@ -209,7 +222,7 @@ object TextGeo {
     while (di < text.length && !hasDigit) {
       val c = text.charAt(di); if (c >= '0' && c <= '9') hasDigit = true; di += 1
     }
-    lazy val hasMonthName = monthNames.exists(mn => containsIgnoreCase(text, mn))
+    lazy val hasMonthName = containsMonthName(text)
     if (hasDigit) {
       for (m <- isoDate.findAllMatchIn(text) if !overlapsClaimed(m.start, m.end))
         claim(m, (m.matched, m.matched))
