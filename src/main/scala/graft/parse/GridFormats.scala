@@ -12,6 +12,9 @@ object GridAscii {
 
   final case class AscResult(extent: Extent, ncols: Int, nrows: Int, cellsize: Double)
 
+  private val HeaderKeys = Set("ncols", "nrows", "xllcorner", "yllcorner",
+    "xllcenter", "yllcenter", "cellsize", "nodata_value")
+
   def readAsc(text: String): Option[AscResult] = {
     if (text == null) return None
     val kv = scala.collection.mutable.Map.empty[String, Double]
@@ -19,11 +22,10 @@ object GridAscii {
     var parsed = 0
     while (it.hasNext && parsed < 6) {
       val line = it.next().trim
-      val parts = line.split("\\s+")
+      val parts = XmlGeo.Ws.split(line)
       if (parts.length == 2) {
         val k = parts(0).toLowerCase
-        if (Set("ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter",
-          "cellsize", "nodata_value")(k)) {
+        if (HeaderKeys(k)) {
           try { kv(k) = parts(1).toDouble; parsed += 1 } catch { case _: Exception => return None }
         } else return if (parsed >= 5) build(kv) else None
       } else return if (parsed >= 5) build(kv) else None

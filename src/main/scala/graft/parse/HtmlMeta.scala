@@ -167,7 +167,7 @@ object HtmlMeta {
         case "GeoShape" =>
           val box = Option(geo.get("box")).map(_.asText("")).getOrElse("")
           if (box.nonEmpty) {
-            val parts = box.replace(",", " ").split("\\s+").filter(_.nonEmpty)
+            val parts = XmlGeo.Ws.split(box.replace(",", " ")).filter(_.nonEmpty)
             if (parts.length == 4) {
               try {
                 // schema.org GeoShape.box = "lat1 lon1 lat2 lon2"
@@ -180,7 +180,7 @@ object HtmlMeta {
           }
           val poly = Option(geo.get("polygon")).map(_.asText("")).getOrElse("")
           if (poly.nonEmpty) {
-            val parts = poly.replace(",", " ").split("\\s+").filter(_.nonEmpty)
+            val parts = XmlGeo.Ws.split(poly.replace(",", " ")).filter(_.nonEmpty)
             if (parts.length >= 6 && parts.length % 2 == 0) {
               try {
                 var i = 0

@@ -102,7 +102,7 @@ object Jp2 {
   private val EpsgRe = "EPSG:+(\\d+)".r
 
   private def nums(s: String): Array[Double] =
-    s.trim.split("\\s+").flatMap(t => t.toDoubleOption)
+    XmlGeo.Ws.split(s.trim).flatMap(t => t.toDoubleOption)
 
   /** GMLJP2 RectifiedGrid → (native-CRS envelope, epsg). The origin is the
     * CENTER of the first cell; the extent corner backs off half of each

@@ -17,6 +17,8 @@ import scala.collection.mutable.ArrayBuffer
 object XmlGeo {
 
   private val kmlCoords = "(?s)<coordinates>(.*?)</coordinates>".r
+  private[parse] val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val WsComma = java.util.regex.Pattern.compile("[\\s,]+")
   private val gpxPt = """<(?:wpt|trkpt|rtept)\s+[^>]*>""".r
   private val latAttr = """lat\s*=\s*["']([-+0-9.eE]+)["']""".r
   private val lonAttr = """lon\s*=\s*["']([-+0-9.eE]+)["']""".r
@@ -43,7 +45,7 @@ object XmlGeo {
     val buf = ArrayBuffer.empty[Double]
     for (m <- kmlCoords.findAllMatchIn(s)) {
       // tuples separated by whitespace; within a tuple lon,lat[,alt]
-      m.group(1).split("\\s+").foreach { tuple =>
+      Ws.split(m.group(1)).foreach { tuple =>
         val parts = tuple.split(",")
         if (parts.length >= 2) {
           try { buf += parts(0).trim.toDouble; buf += parts(1).trim.toDouble }
@@ -121,7 +123,7 @@ object XmlGeo {
   def gmlCoordArray(s: String): Array[Double] = {
     val buf = ArrayBuffer.empty[Double]
     for (m <- gmlPos.findAllMatchIn(s)) {
-      val nums = m.group(1).trim.split("[\\s,]+").flatMap { t =>
+      val nums = WsComma.split(m.group(1).trim).flatMap { t =>
         try Some(t.toDouble) catch { case _: NumberFormatException => None }
       }
       var i = 0

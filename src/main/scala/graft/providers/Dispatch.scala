@@ -60,10 +60,19 @@ object Dispatch {
     c.substring(c.lastIndexOf('/') + 1)
   }
 
+  // compiled-pattern cache: the ladder probes dozens of regexes per
+  // identifier, and `pattern.r` recompiled each one per call — a fixed,
+  // small pattern set, so cache by source string (identical match behavior)
+  private val reCache = new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def re(pattern: String): scala.util.matching.Regex = {
+    val cached = reCache.get(pattern)
+    if (cached != null) cached
+    else reCache.computeIfAbsent(pattern, _.r)
+  }
   private def re1(pattern: String, s: String): Option[String] =
-    pattern.r.findFirstMatchIn(s).map(_.group(1))
+    re(pattern).findFirstMatchIn(s).map(_.group(1))
   private def matches(pattern: String, s: String): Boolean =
-    pattern.r.findFirstMatchIn(s).isDefined
+    re(pattern).findFirstMatchIn(s).isDefined
 
   // ---- per-provider offline validators, ladder order ----
 
@@ -200,8 +209,8 @@ object Dispatch {
           .map(doi => PMatch("Dataverse", Map("persistent_id" -> s"doi:$doi"))))
         .orElse {
           val url = offlineUrl(ref)
-          """https?://([^/]+)/dataset\.xhtml\?persistentId=(.+)""".r.findFirstMatchIn(url)
-            .orElse("""https?://([^/]+)/api/datasets/:persistentId\?persistentId=(.+)""".r.findFirstMatchIn(url))
+          re("""https?://([^/]+)/dataset\.xhtml\?persistentId=(.+)""").findFirstMatchIn(url)
+            .orElse(re("""https?://([^/]+)/api/datasets/:persistentId\?persistentId=(.+)""").findFirstMatchIn(url))
             .filter(m => dataverseKnownHosts.exists(_.equalsIgnoreCase(m.group(1))))
             .map(m => PMatch("Dataverse", Map("persistent_id" -> clean(m.group(2)))))
         }
@@ -210,7 +219,7 @@ object Dispatch {
   private val gfzHosts = Seq("https://dataservices.gfz-potsdam.de",
     "http://dataservices.gfz-potsdam.de", "dataservices.gfz-potsdam.de")
   private val gfz = Rung("GFZ", Seq("10.5880/GFZ"), ref =>
-    """10\.5880/GFZ\.\d+\.\d+\.\d+\.\d+""".r.findFirstIn(ref)
+    re("""10\.5880/GFZ\.\d+\.\d+\.\d+\.\d+""").findFirstIn(ref)
       .map(doi => PMatch("GFZ", Map("doi" -> doi)))
       .orElse {
         if (gfzHosts.exists(ref.contains))
@@ -236,14 +245,14 @@ object Dispatch {
     if (matches("""10\.18739/""", ref))
       Some(PMatch("ArcticDataCenter",
         re1("""(10\.18739/[^\s]+)""", ref).map(d => Map("dataset_id" -> s"doi:$d")).getOrElse(Map.empty)))
-    else "(?i)urn:uuid:".r.findFirstIn(ref).flatMap(_ => s"(?i)(urn:uuid:$Uuid)".r.findFirstIn(ref))
+    else re("(?i)urn:uuid:").findFirstIn(ref).flatMap(_ => re(s"(?i)(urn:uuid:$Uuid)").findFirstIn(ref))
       .map(u => PMatch("ArcticDataCenter", Map("dataset_id" -> u)))
       .orElse {
         val h = hostOf(ref)
         if (h == "arcticdata.io" || h.endsWith(".arcticdata.io")) {
           val p = unquote(pathOf(ref))
           re1("""(doi:10\.18739/[^\s/]+)""", p)
-            .orElse(s"(?i)(urn:uuid:$Uuid)".r.findFirstMatchIn(p).map(_.group(1)))
+            .orElse(re(s"(?i)(urn:uuid:$Uuid)").findFirstMatchIn(p).map(_.group(1)))
             .map(id => PMatch("ArcticDataCenter", Map("dataset_id" -> id)))
             .orElse(Some(PMatch("ArcticDataCenter", Map.empty)))
         } else None
@@ -251,7 +260,7 @@ object Dispatch {
   })
 
   private val dataone = Rung("DataOne", Seq("10.5063/", "10.6085/"), ref => {
-    """(10\.5063/[^\s]+|10\.6085/[^\s]+)""".r.findFirstIn(ref)
+    re("""(10\.5063/[^\s]+|10\.6085/[^\s]+)""").findFirstIn(ref)
       .map(d => PMatch("DataOne", Map("dataset_id" -> s"doi:$d")))
       .orElse {
         val h = hostOf(ref).toLowerCase
@@ -350,7 +359,7 @@ object Dispatch {
     "ckan.govdata.de", "open.canada.ca", "data.gov.au", "catalog.data.gov", "data.gov.ie", "data.gov.sg")
   private val ckan = Rung("CKAN", Nil, ref => {
     val url = offlineUrl(ref)
-    """https?://([^/]+)(?:/[^/]+)*/dataset/([^/?#]+)""".r.findFirstMatchIn(url).flatMap { m =>
+    re("""https?://([^/]+)(?:/[^/]+)*/dataset/([^/?#]+)""").findFirstMatchIn(url).flatMap { m =>
       val h = m.group(1).toLowerCase
       if (ckanExcluded.contains(h)) None
       else if (ckanKnown.contains(h)) Some(PMatch("CKAN", Map("dataset_id" -> m.group(2))))

@@ -13,8 +13,14 @@ object JournalPlatform {
 
   private val metaTag = "(?is)<meta\\s+[^>]*>".r
   private val linkTag = "(?is)<link\\s+[^>]*>".r
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  // per-attribute-name compiled pattern cache (the old path rebuilt the
+  // regex per tag per attribute on the landing-page sniff path)
+  private val attrRe =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
   private def attr(tag: String, name: String): Option[String] =
-    s"""(?i)$name\\s*=\\s*["']([^"']*)["']""".r.findFirstMatchIn(tag).map(_.group(1))
+    attrRe.computeIfAbsent(name, n => s"""(?i)$n\\s*=\\s*["']([^"']*)["']""".r)
+      .findFirstMatchIn(tag).map(_.group(1))
 
   private def generatorContent(html: String): Option[String] =
     metaTag.findAllIn(html).toSeq.iterator
@@ -28,7 +34,7 @@ object JournalPlatform {
   def isJaneway(html: String, url: String): Boolean = {
     if (generatorContent(html).exists(_.toLowerCase.contains("janeway"))) return true
     val geoJsonAlternate = linkTag.findAllIn(html).exists { t =>
-      attr(t, "rel").exists(_.toLowerCase.split("\\s+").contains("alternate")) &&
+      attr(t, "rel").exists(r => Ws.split(r.toLowerCase).contains("alternate")) &&
         attr(t, "type").exists(_.toLowerCase.contains("geo+json"))
     }
     if (geoJsonAlternate) return true

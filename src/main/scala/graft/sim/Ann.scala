@@ -52,13 +52,27 @@ object Ann {
     (h & 0xffffffffL).toDouble / 0x7fffffffL.toDouble - 1.0
   }
 
+  // plane components cached per plane (extended on demand to the widest
+  // embedding seen): the old path re-derived fnv1a("ann-plane-j-i") — a
+  // string build + hash — per COMPONENT per VECTOR, ~256 string hashes per
+  // row at 32 planes × 8 dims on every ANN/SemDeDup/streaming-LSH scan
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def planeRow(plane: Int, dims: Int): Array[Double] = {
+    val cur = planeCache.get(plane)
+    if (cur != null && cur.length >= dims) cur
+    else planeCache.compute(plane, (_, old) =>
+      if (old != null && old.length >= dims) old
+      else Array.tabulate(dims)(i => planeComponent(plane, i)))
+  }
+
   def signBits(v: Seq[Float], numPlanes: Int): Long = {
     var bits = 0L
     var j = 0
     while (j < numPlanes) {
+      val row = planeRow(j, v.length)
       var dot = 0.0
       var i = 0
-      while (i < v.length) { dot += v(i) * planeComponent(j, i); i += 1 }
+      while (i < v.length) { dot += v(i) * row(i); i += 1 }
       if (dot > 0) bits |= (1L << j)
       j += 1
     }

@@ -360,7 +360,7 @@ object TextOps {
         totChars += c.toLong * l.length
         if (c > 1) { dupLines += c; dupChars += c.toLong * l.length }
       }
-      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ws = WsPattern.split(text.toLowerCase).filter(_.nonEmpty)
       var topFrac = 0.0
       if (ws.length >= 2) {
         val bc = new java.util.HashMap[String, Int]()
