@@ -41,6 +41,7 @@ object BenchExtra {
       case "text" => textProfile()
       case "noop" => noopQueries(args.drop(1))
       case "repeat" => repeatQuery(args(1), if (args.length > 2) args(2).toInt else 3)
+      case "flagship" => flagshipBreakdown()
       case other => sys.error(s"unknown mode $other")
     }
   }
@@ -138,6 +139,51 @@ object BenchExtra {
     val sigUs = run(t => text.TextOps.minhash(text.TextOps.shingleHashes(t), 64))
     println(f"shingles only : $shingleUs%8.2f us/doc")
     println(f"shingle+minhash64: $sigUs%8.2f us/doc")
+  }
+
+  /** Flagship job-1 cost decomposition over the materialized bench corpus:
+    * parquet scan, scan+parse (noop), scan+parse+cache+count — isolates how
+    * much of the headline's first job is kernel vs Dataset-encoder vs
+    * columnar cache build.
+    */
+  private def flagshipBreakdown(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val pagesPath = s"/tmp/graft_bench_pages_${sfDir.replaceAll("[^0-9.]", "")}"
+    val s = session(cpus)
+    def t(label: String)(f: => Unit): Unit = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"$label%-34s $best%7.2f s (min of 3)")
+    }
+    val pages = s.read.parquet(pagesPath)
+    t("scan html+text (noop)") {
+      pages.select("d", "warc_ts", "html", "text", "lang")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("scan+parse only (no row encode)") {
+      import s.implicits._
+      pages.select("d", "warc_ts", "html", "text", "lang").as[operators.PageIn]
+        .mapPartitions { it =>
+          var n = 0L
+          it.foreach { p => parse.Extract.extract(p.html, p.text, p.lang); n += 1 }
+          Iterator.single(n)
+        }.reduce(_ + _)
+    }
+    t("scan+parse (noop, no cache)") {
+      operators.Extractor.extract(pages).toDF()
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("scan+parse+cache+count (job 1)") {
+      val e = operators.Extractor.extract(pages).toDF().cache()
+      e.count()
+      e.unpersist()
+    }
+    s.stop()
   }
 
   /** One query run `n` times in ONE session (Bench's per-query methodology:
