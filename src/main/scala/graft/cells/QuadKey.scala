@@ -109,6 +109,13 @@ object QuadKey {
     out
   }
 
+  /** [[cover]] with unpacked corner args — the static entry the codegen'd
+    * CellCover expression calls from generated Java.
+    */
+  def coverArray(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                 z: Int): Array[Long] =
+    cover(Extent(minLon, minLat, maxLon, maxLat), z)
+
   /** Chebyshev ring of cells at distance r around a key's tile (clamped at the
     * antimeridian/pole edges rather than wrapping — the synthetic corpus stays
     * inside the mercator frame). r=0 → the cell itself.

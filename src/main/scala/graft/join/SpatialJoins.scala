@@ -386,8 +386,8 @@ object SpatialJoins {
     df.filter(col("min_lon").isNotNull)
       .select(col(id), col("min_lon").as(s"${p}0"), col("min_lat").as(s"${p}1"),
         col("max_lon").as(s"${p}2"), col("max_lat").as(s"${p}3"))
-      .withColumn("cell", explode(graft.tiles.Tiler.coverUdf(
-        col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), lit(zoom))))
+      .withColumn("cell", explode(graft.tiles.Tiler.cover(
+        col(s"${p}0"), col(s"${p}1"), col(s"${p}2"), col(s"${p}3"), zoom)))
 
   /** Detector → salt-factor → salted cover-cell join (VERDICT r5 task 3
     * wiring): the Misra–Gries detector measures the a side's cover-cell

@@ -17,6 +17,15 @@ object Tiler {
   val coverUdf = udf((minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, z: Int) =>
     QuadKey.cover(Extent(minLon, minLat, maxLon, maxLat), z))
 
+  /** Codegen cover — same values as [[coverUdf]] (CellCover property-tests
+    * against it), but stays inside whole-stage codegen and emits the cell
+    * array without per-cell boxing. Preferred on hot paths.
+    */
+  def cover(minLon: org.apache.spark.sql.Column, minLat: org.apache.spark.sql.Column,
+            maxLon: org.apache.spark.sql.Column, maxLat: org.apache.spark.sql.Column,
+            zoom: Int): org.apache.spark.sql.Column =
+    graft.functions.CellCover(minLon, minLat, maxLon, maxLat, zoom)
+
   val txUdf = udf((cell: Long) => QuadKey.decodeX(cell))
   val tyUdf = udf((cell: Long) => QuadKey.decodeY(cell))
 
@@ -26,7 +35,7 @@ object Tiler {
   def tileAssignments(extents: DataFrame, zoom: Int): DataFrame =
     extents
       .filter(col("min_lon").isNotNull)
-      .withColumn("tile", explode(coverUdf(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"), lit(zoom))))
+      .withColumn("tile", explode(cover(col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"), zoom)))
       .withColumn("tx", txUdf(col("tile")))
       .withColumn("ty", tyUdf(col("tile")))
 

@@ -67,6 +67,31 @@ class QuadKeySpec extends AnyFunSuite {
     assert(QuadKey.disk(k, 2).length === 25)
   }
 
+  test("CellCover Catalyst expression equals QuadKey.cover / the cover UDF, incl. world edges") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val r = new java.util.Random(41)
+    val rows = Seq.fill(300) {
+      val lon0 = r.nextDouble() * 340 - 170
+      val lat0 = r.nextDouble() * 160 - 80
+      (lon0, lat0, lon0 + r.nextDouble() * 30, lat0 + r.nextDouble() * 15)
+    } ++ Seq( // clamped extremes: antimeridian / mercator cut corners
+      (-180.0, -85.06, -179.0, -84.0), (179.0, 84.0, 180.0, 85.06),
+      (-180.0, -90.0, 180.0, 90.0), (7.5, 51.5, 7.5, 51.5))
+    for (zoom <- Seq(4, 6, 7)) {
+      val df = rows.toDF("a", "b", "c", "d")
+      val expr = df.select(graft.tiles.Tiler.cover(col("a"), col("b"), col("c"), col("d"), zoom))
+        .collect().map(_.getSeq[Long](0).toVector)
+      val viaUdf = df.select(graft.tiles.Tiler.coverUdf(col("a"), col("b"), col("c"), col("d"), lit(zoom)))
+        .collect().map(_.getSeq[Long](0).toVector)
+      assert(expr.toSeq === viaUdf.toSeq, s"zoom $zoom")
+      expr.zip(rows).foreach { case (cells, (a, b, c, d)) =>
+        assert(cells === QuadKey.cover(graft.geo.Extent(a, b, c, d), zoom).toVector)
+      }
+    }
+  }
+
   test("CellEncode Catalyst expression equals QuadKey.encode") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
