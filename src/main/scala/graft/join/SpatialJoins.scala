@@ -23,7 +23,9 @@ object SpatialJoins {
   def pipJoin(points: DataFrame, polys: DataFrame): DataFrame = {
     val polyCells = polys.select(col("poly_id"), col("ring"), explode(col("cells")).as("cell"))
     points.join(broadcast(polyCells), Seq("cell"), "inner")
-      .filter(pipUdf(col("lon"), col("lat"), col("ring")))
+      // codegen'd ray cast over the ring ArrayData (no per-candidate
+      // Seq/toArray copy); booleans identical to pipUdf (JoinsSpec property)
+      .filter(graft.functions.PipContains(col("lon"), col("lat"), col("ring")))
       .drop("ring")
   }
 

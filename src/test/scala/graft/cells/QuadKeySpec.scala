@@ -92,6 +92,27 @@ class QuadKeySpec extends AnyFunSuite {
     }
   }
 
+  test("PipContains Catalyst expression equals pointInRing, incl. degenerate rings") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val r = new java.util.Random(53)
+    def ring(k: Int): Seq[Double] = Seq.fill(k * 2)(r.nextDouble() * 40 - 20)
+    val rows = Seq.fill(300) {
+      (r.nextDouble() * 40 - 20, r.nextDouble() * 40 - 20, ring(3 + r.nextInt(6)))
+    } ++ Seq(
+      (0.0, 0.0, Seq(-1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0)), // inside rect
+      (5.0, 5.0, Seq(-1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0)), // outside rect
+      (0.0, 0.0, Seq(0.0, 0.0)), (0.0, 0.0, Seq.empty[Double]))    // degenerate
+    val df = rows.toDF("lon", "lat", "ring")
+    val expr = df.select(graft.functions.PipContains(col("lon"), col("lat"), col("ring")))
+      .collect().map(_.getBoolean(0))
+    val viaUdf = df.select(graft.join.SpatialJoins.pipUdf(col("lon"), col("lat"), col("ring")))
+      .collect().map(_.getBoolean(0))
+    assert(expr.toSeq === viaUdf.toSeq)
+    assert(expr.exists(identity) && expr.exists(!_)) // both outcomes exercised
+  }
+
   test("CellEncode Catalyst expression equals QuadKey.encode") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
