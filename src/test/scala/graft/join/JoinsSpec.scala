@@ -222,6 +222,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("extentOverlapJoin at antimeridian/pole clamps: min corner exactly on the world edge") {
+    // the reporting-cell dedup argument relies on cover and CellEncode
+    // sharing floor+clamp at world edges; generate extents whose min corner
+    // sits EXACTLY on ±180 lon / ±85.05 lat (the Mercator cut) and beyond
+    // (clamped poles), crossed with interior rects that reach the same edges
+    val edgeLons = Seq(-180.0, -179.9999999, 179.0, 7.5)
+    val edgeLats = Seq(-85.05112877980659, -85.05, 84.9, 85.05112877980659, -90.0, 51.5)
+    val aSeq = (for ((lon0, i) <- edgeLons.zipWithIndex; (lat0, j) <- edgeLats.zipWithIndex)
+      yield ((i * 10 + j).toLong, lon0, lat0, math.min(180.0, lon0 + 1.5),
+        math.min(90.0, lat0 + 1.5))).toSeq
+    val bSeq = (for ((lon0, i) <- edgeLons.zipWithIndex; (lat0, j) <- edgeLats.zipWithIndex)
+      yield ((1000 + i * 10 + j).toLong, math.max(-180.0, lon0 - 2.0),
+        math.max(-90.0, lat0 - 2.0), lon0 + 0.5, lat0 + 0.5)).toSeq
+    val a = aSeq.toDF("aid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val b = bSeq.toDF("bid", "min_lon", "min_lat", "max_lon", "max_lat")
+    val rows = SpatialJoins.extentOverlapJoin(a, "aid", b, "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ai, a0, a1, a2, a3) <- aSeq
+      (bi, b0, b1, b2, b3) <- bSeq
+      if a0 <= b2 && b0 <= a2 && a1 <= b3 && b1 <= a3
+    } yield (ai, bi)).toSet
+    assert(rows.toSet === expected)
+    assert(rows.length === expected.size,
+      "a world-edge pair was emitted in more than one reporting cell (or lost)")
+    assert(expected.size > 50, "edge battery degenerate — too few overlapping pairs")
+  }
+
   test("salted extentOverlapJoin / distanceJoin equal their unsalted plans; detector fires on the hot cell") {
     // planted skew: 60% of the extents pile onto one location (one cover
     // cell), the rest spread world-wide — the q87-shaped hot-cell scenario
