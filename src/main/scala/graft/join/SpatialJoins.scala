@@ -285,22 +285,12 @@ object SpatialJoins {
     })
     val q = queries.select(col("qid"), col("qlon"), col("qlat"))
       .withColumn("cell", explode(diskUdf(col("qlat"), col("qlon"))))
-    // per-hot-cell salting (detector-driven, see distanceJoinSkewAware): the
-    // point side salts deterministically by its row key, the (small) query
-    // side replicates only for the hot cells — a pair (q,p) sharing cell c
-    // meets exactly once at salt hash(pid) % salts(c), so the result set is
-    // identical to the unsalted join (JoinsSpec property) while a hot cell's
-    // candidates fan out over salts(c) reducers instead of one.
-    val joined =
-      if (cellSalts.isEmpty) pts.join(q, Seq("cell"))
-      else {
-        val nOf: Column => Column =
-          c => coalesce(element_at(typedLit(cellSalts), c), lit(1))
-        val ptsS = pts.withColumn("_salt", pmod(hash(col("pid")), nOf(col("cell"))))
-        val qS = q.withColumn("_salt", explode(sequence(lit(0), nOf(col("cell")) - 1)))
-        ptsS.join(qS, Seq("cell", "_salt")).drop("_salt")
-      }
-    joined
+    // per-hot-cell salting (detector-driven, see distanceJoinSkewAware): a
+    // pair (q,p) sharing cell c meets exactly once at salt hash(pid) %
+    // salts(c), so the result set is identical to the unsalted join
+    // (JoinsSpec property) while a hot cell's candidates fan out over
+    // salts(c) reducers instead of one.
+    saltedCellEquiJoin(pts, col("pid"), q, cellSalts)
       .withColumn("dist2",
         (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
           (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
@@ -322,6 +312,24 @@ object SpatialJoins {
     distanceJoin(queries, points, radiusDeg, zoom,
       hotCellSalts(cells, k, maxSalts))
   }
+
+  /** The one correctness-critical salted-equi-join construction, shared by
+    * both skew-aware grid joins: `big` salts deterministically by its unique
+    * `saltKey`, `other` replicates a row only for cells in the salt map
+    * (absent cells default to 1 — unsalted). Every (big, other) pair sharing
+    * cell c meets exactly once, at salt hash(saltKey) % salts(c); with an
+    * empty map this is byte-for-byte the plain cell join.
+    */
+  private def saltedCellEquiJoin(big: DataFrame, saltKey: Column, other: DataFrame,
+                                 cellSalts: Map[Long, Int]): DataFrame =
+    if (cellSalts.isEmpty) big.join(other, Seq("cell"))
+    else {
+      val nOf: Column => Column =
+        c => coalesce(element_at(typedLit(cellSalts), c), lit(1))
+      val bigS = big.withColumn("_salt", pmod(hash(saltKey), nOf(col("cell"))))
+      val otherS = other.withColumn("_salt", explode(sequence(lit(0), nOf(col("cell")) - 1)))
+      bigS.join(otherS, Seq("cell", "_salt")).drop("_salt")
+    }
 
   /** Hot cover cells → salt factors: share-proportional spread, bounded.
     * A cell owning share s of the rows fans out over ~s·parallelism reducers
@@ -361,22 +369,12 @@ object SpatialJoins {
     val pa = coverPrep(a, aId, "a", zoom)
     val pb = coverPrep(b, bId, "b", zoom)
     // per-hot-cell salting (detector-driven, see extentOverlapJoinSkewAware):
-    // the a side salts deterministically by its id, the b side replicates its
-    // hot-cell cover rows salts(c) times. Salting commutes with the rect
-    // residual AND the reporting-cell filter — both are pure per-pair
-    // predicates, and a pair meeting in cell c meets exactly once at salt
-    // hash(aId) % salts(c) — so the output pair set is identical (JoinsSpec
-    // property) while the planted hot cell fans out over salts(c) reducers.
-    val joined =
-      if (cellSalts.isEmpty) pa.join(pb, Seq("cell"))
-      else {
-        val nOf: Column => Column =
-          c => coalesce(element_at(typedLit(cellSalts), c), lit(1))
-        val paS = pa.withColumn("_salt", pmod(hash(col(aId)), nOf(col("cell"))))
-        val pbS = pb.withColumn("_salt", explode(sequence(lit(0), nOf(col("cell")) - 1)))
-        paS.join(pbS, Seq("cell", "_salt")).drop("_salt")
-      }
-    joined
+    // salting commutes with the rect residual AND the reporting-cell filter
+    // — both are pure per-pair predicates, and a pair meeting in cell c
+    // meets exactly once at salt hash(aId) % salts(c) — so the output pair
+    // set is identical (JoinsSpec property) while the planted hot cell fans
+    // out over salts(c) reducers.
+    saltedCellEquiJoin(pa, col(aId), pb, cellSalts)
       .filter(col("a0") <= col("b2") && col("b0") <= col("a2") &&
         col("a1") <= col("b3") && col("b1") <= col("a3"))
       .filter(graft.functions.CellEncode(

@@ -27,7 +27,11 @@ object Media {
 
   // ImageIO defaults to a disk-backed stream cache: every ImageIO.read
   // creates (and deletes) a temp FILE before decoding — pure per-row I/O
-  // overhead on the q39 decode path. The memory cache decodes byte-identically.
+  // overhead on the q39 decode path. The memory cache decodes
+  // byte-identically. NOTE: this is a PROCESS-WIDE ImageIO setting, applied
+  // when this object first loads (i.e. when any media operator runs); this
+  // engine is javax.imageio's only user in-process, and the payloads it
+  // decodes are small (< 64 KiB), so the on-heap stream buffer is safe.
   javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],

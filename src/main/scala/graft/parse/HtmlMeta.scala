@@ -40,8 +40,17 @@ object HtmlMeta {
     * maps onto these ASCII needles (the needles contain no char produced by a
     * multi-char lowercase expansion), so acceptance is unchanged.
     */
-  private def headContainsIc(s: String, needle: String): Boolean = {
-    val max = math.min(s.length, 4096) - needle.length
+  private def headContainsIc(s: String, needle: String): Boolean =
+    containsIcBounded(s, needle, 4096)
+
+  /** Case-insensitive unbounded substring gate (superset of an ASCII-(?i)
+    * regex's folding — a gate pass never skips a matchable page).
+    */
+  private def containsIc(s: String, needle: String): Boolean =
+    containsIcBounded(s, needle, s.length)
+
+  private def containsIcBounded(s: String, needle: String, limit: Int): Boolean = {
+    val max = math.min(s.length, limit) - needle.length
     var i = 0
     while (i <= max) {
       if (s.regionMatches(true, i, needle, 0, needle.length)) return true
@@ -74,10 +83,12 @@ object HtmlMeta {
       .replace("&#39;", "'").replace("&apos;", "'").replace("&amp;", "&")
 
   def extract(html: String): HtmlResult = {
-    // indexOf gate: the script-tag regex requires the literal "ld+json", so a
-    // page without it can't yield blocks — skip the full-page regex scan
+    // gate: the script-tag regex requires "ld+json" (in SOME case — the
+    // regex is (?i), so the gate must be case-insensitive too: an
+    // "application/LD+JSON" page yields blocks); a page without it can't
+    // match — skip the full-page regex scan
     val blocks =
-      if (html.indexOf("ld+json") < 0) Seq.empty[JsonNode]
+      if (!containsIc(html, "ld+json")) Seq.empty[JsonNode]
       else jsonLdScript.findAllMatchIn(html).flatMap(m => GeoJson.parseJson(m.group(1))).toSeq
     // meta tags are scanned LAZILY: a page whose JSON-LD resolves both ladder
     // steps 1 (spatial) and temporal never pays the full-page meta-tag regex

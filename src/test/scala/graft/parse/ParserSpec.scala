@@ -17,6 +17,19 @@ class ParserSpec extends AnyFunSuite {
     assert(r.spatialSource === Some("jsonld"))
   }
 
+  test("JSON-LD script tag with uppercase type (LD+JSON) still extracts") {
+    // the script-tag regex is (?i); the cheap presence gate in front of it
+    // must be case-insensitive too (regression: a case-sensitive indexOf
+    // gate silently dropped uppercase-typed blocks)
+    val html =
+      """<html><head><script type="application/LD+JSON">{"@type":"Dataset",
+        |"spatialCoverage":{"@type":"Place","geo":{"@type":"GeoShape","box":"51.5 7.5 52.0 8.25"}}}</script>
+        |</head></html>""".stripMargin
+    val r = HtmlMeta.extract(html)
+    assert(r.extent === Some(Extent(7.5, 51.5, 8.25, 52.0)))
+    assert(r.spatialSource === Some("jsonld"))
+  }
+
   test("JSON-LD GeoCoordinates point and @graph nesting") {
     val html =
       """<html><head><script type="application/ld+json">{"@graph":[{"@type":"Dataset",
