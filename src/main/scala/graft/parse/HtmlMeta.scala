@@ -51,9 +51,19 @@ object HtmlMeta {
 
   private def containsIcBounded(s: String, needle: String, limit: Int): Boolean = {
     val max = math.min(s.length, limit) - needle.length
+    // first-char prefilter: positions that can't start a match cost one char
+    // compare, not a regionMatches call (the gates run on every page)
+    val c0 = needle.charAt(0)
+    val c0u = Character.toUpperCase(c0)
+    val c0l = Character.toLowerCase(c0u)
     var i = 0
     while (i <= max) {
-      if (s.regionMatches(true, i, needle, 0, needle.length)) return true
+      val c = s.charAt(i)
+      // exact mirror of regionMatches(true)'s per-char fold (upper, then
+      // lower-of-upper) so the prefilter never rejects a matchable start
+      if ((c == c0l || c == c0u || Character.toUpperCase(c) == c0u ||
+            Character.toLowerCase(Character.toUpperCase(c)) == c0l) &&
+          s.regionMatches(true, i, needle, 0, needle.length)) return true
       i += 1
     }
     false
