@@ -212,13 +212,28 @@ object TextOps {
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // explode, not a two-branch union: `pairs` may be an expensive un-cached
-    // DAG (an LSH candidate generator) and each branch would re-evaluate it.
+    // DAG (an LSH candidate generator) and each branch would re-evaluate it;
+    // the id set is persisted for the call (bounded FIFO) because the Bloom
+    // build below adds passes over it.
     // shuffle_hash hint: without stats Spark sorts both semi-join sides
     // (SortMergeJoin); the candidate id set is the small side but not
     // reliably broadcast-small at 100 TB, so hash-build it instead of
     // sorting the corpus
-    val ids = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val sh = docs.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val ids = persistBounded(
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct())
+    // Bloom pre-filter (optimization guide §3.2): candidate verification
+    // touches candidates, which at corpus scale are orders of magnitude
+    // fewer than documents — drop definitely-non-candidate docs BEFORE the
+    // semi-join exchange, cutting the corpus-side shuffle to ~the candidate
+    // set (+1 % false positives). No false negatives, and the semi join
+    // still runs, so the result is byte-identical with or without the
+    // filter.
+    val nIds = math.max(1L, ids.count())
+    val bf = ids.stat.bloomFilter("doc_id", nIds, 0.01)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightMatch = udf((id: Long) => bfB.value.mightContainLong(id))
+    val sh = docs.filter(mightMatch(col("doc_id")))
+      .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
     pairs
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
